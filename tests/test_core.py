@@ -1,0 +1,210 @@
+"""Unit tests for core math / rng / sampling / film / distribution / io."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from akari_render_tpu.core import math as m
+from akari_render_tpu.core import sampling as smp
+from akari_render_tpu.core.distribution import AliasTable, sample_and_remap, resample_with_f64
+from akari_render_tpu.core.film import Film, add_samples, add_splats, develop
+from akari_render_tpu.core.image_io import read_exr, write_exr
+from akari_render_tpu.core.pcg import Pcg32, U64, pcg32_next, u64_add, u64_mul
+from akari_render_tpu.core.samplers import IndependentSampler
+
+
+class TestU64:
+    def test_mul_matches_python(self, rng_np):
+        a = rng_np.integers(0, 2**64, 64, dtype=np.uint64)
+        b = rng_np.integers(0, 2**64, 64, dtype=np.uint64)
+        ja = U64(jnp.uint32(a >> np.uint64(32)), jnp.uint32(a & np.uint64(0xFFFFFFFF)))
+        jb = U64(jnp.uint32(b >> np.uint64(32)), jnp.uint32(b & np.uint64(0xFFFFFFFF)))
+        r = u64_mul(ja, jb)
+        expect = (a.astype(object) * b.astype(object)) % 2**64
+        got = (np.asarray(r.hi).astype(object) * 2**32 + np.asarray(r.lo).astype(object))
+        assert (got == np.array([int(e) for e in expect], dtype=object)).all()
+
+    def test_add_carry(self):
+        a = U64.of(0, 0xFFFFFFFF)
+        b = U64.of(0, 1)
+        r = u64_add(a, b)
+        assert int(r.hi) == 1 and int(r.lo) == 0
+
+
+class TestPcg32:
+    def test_reference_sequence(self):
+        """Bit-exact against the canonical PCG32 demo values (seed=42, seq=54)."""
+        st = Pcg32.new_seq(U64.of(0, 54), seed=42)
+        expected = [0xA15C02B7, 0x7B47F409, 0xBA1D3330, 0x83D2F293, 0xBFA4784B, 0xCBED606E]
+        for e in expected:
+            st, out = pcg32_next(st)
+            assert int(out) == e
+
+    def test_batched_streams_differ(self):
+        s = IndependentSampler.new(jnp.arange(128, dtype=jnp.uint32), seed=0)
+        s, u = s.next_1d()
+        assert len(np.unique(np.asarray(u))) > 120
+
+    def test_uniform_distribution(self):
+        s = IndependentSampler.new(jnp.arange(4096, dtype=jnp.uint32), seed=7)
+        us = []
+        for _ in range(16):
+            s, u = s.next_1d()
+            us.append(np.asarray(u))
+        us = np.concatenate(us)
+        assert 0.0 <= us.min() and us.max() < 1.0
+        assert abs(us.mean() - 0.5) < 0.01
+        assert abs(us.var() - 1 / 12) < 0.01
+
+
+class TestMath:
+    def test_normalize(self):
+        v = jnp.array([[3.0, 0.0, 4.0]])
+        n = m.normalize(v)
+        np.testing.assert_allclose(np.asarray(m.length(n)), 1.0, rtol=1e-6)
+
+    def test_onb_orthonormal(self, rng_np):
+        n = rng_np.normal(size=(256, 3)).astype(np.float32)
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        t, b = m.orthonormal_basis(jnp.asarray(n))
+        t, b = np.asarray(t), np.asarray(b)
+        np.testing.assert_allclose((t * n).sum(-1), 0.0, atol=1e-5)
+        np.testing.assert_allclose((b * n).sum(-1), 0.0, atol=1e-5)
+        np.testing.assert_allclose((t * b).sum(-1), 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.cross(t, b), n, atol=1e-5)
+
+    def test_frame_roundtrip(self, rng_np):
+        n = m.normalize(jnp.asarray(rng_np.normal(size=(64, 3)).astype(np.float32)))
+        t, b, n = m.Frame.from_normal(n)
+        v = m.normalize(jnp.asarray(rng_np.normal(size=(64, 3)).astype(np.float32)))
+        lv = m.Frame.to_local(t, b, n, v)
+        wv = m.Frame.to_world(t, b, n, lv)
+        np.testing.assert_allclose(np.asarray(wv), np.asarray(v), atol=1e-5)
+
+    def test_reflect(self):
+        w = m.normalize(jnp.array([[1.0, 0.0, 1.0]]))
+        n = jnp.array([[0.0, 0.0, 1.0]])
+        r = m.reflect(w, n)
+        np.testing.assert_allclose(np.asarray(r[0]), [-w[0, 0], 0.0, w[0, 2]], atol=1e-6)
+
+    def test_refract_tir(self):
+        # grazing ray from dense medium: total internal reflection
+        wi = m.normalize(jnp.array([[0.99, 0.0, 0.1]]))
+        n = jnp.array([[0.0, 0.0, 1.0]])
+        ok, _, _ = m.refract(wi, n, jnp.array(1.0 / 1.5))
+        assert not bool(ok[0])
+
+    def test_offset_ray_origin_moves_forward(self, rng_np):
+        p = jnp.asarray(rng_np.normal(size=(128, 3)).astype(np.float32) * 10)
+        n = m.normalize(jnp.asarray(rng_np.normal(size=(128, 3)).astype(np.float32)))
+        q = m.offset_ray_origin(p, n)
+        d = np.asarray(m.dot(q - p, n))
+        assert (d >= 0.0).all()
+        assert (np.asarray(m.length(q - p)) < 1e-2).all()
+
+
+class TestSampling:
+    def test_disk_inverse(self, rng_np):
+        u = jnp.asarray(rng_np.uniform(size=(1024, 2)).astype(np.float32))
+        p = smp.uniform_sample_disk(u)
+        u2 = smp.invert_uniform_sample_disk(p)
+        np.testing.assert_allclose(np.asarray(u2), np.asarray(u), atol=1e-3)
+
+    def test_cos_hemisphere_inverse(self, rng_np):
+        u = jnp.asarray(rng_np.uniform(0.01, 0.99, size=(1024, 2)).astype(np.float32))
+        w = smp.cos_sample_hemisphere(u)
+        u2 = smp.invert_cos_sample_hemisphere(w)
+        np.testing.assert_allclose(np.asarray(u2), np.asarray(u), atol=1e-3)
+
+    def test_cos_hemisphere_mean(self, rng_np):
+        u = jnp.asarray(rng_np.uniform(size=(200_000, 2)).astype(np.float32))
+        w = smp.cos_sample_hemisphere(u)
+        # E[cos theta] under cosine-weighted sampling = 2/3
+        assert abs(float(w[..., 2].mean()) - 2 / 3) < 3e-3
+
+    def test_triangle_warp_uniform(self, rng_np):
+        u = jnp.asarray(rng_np.uniform(size=(100_000, 2)).astype(np.float32))
+        b = np.asarray(smp.uniform_sample_triangle(u))
+        assert (b >= 0).all() and (b.sum(-1) <= 1.0 + 1e-6).all()
+        # centroid of uniform samples on simplex = (1/3, 1/3)
+        np.testing.assert_allclose(b.mean(0), [1 / 3, 1 / 3], atol=3e-3)
+
+    def test_erf_inv_roundtrip(self):
+        x = jnp.linspace(-0.9, 0.9, 50)
+        y = smp.erf_inv(smp.erf(x))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=2e-3)
+
+    def test_mis_weight(self):
+        w = smp.mis_weight(jnp.array(1.0), jnp.array(3.0))
+        assert abs(float(w) - 0.25) < 1e-6
+
+
+class TestAliasTable:
+    def test_reconstruction(self, rng_np):
+        w = rng_np.uniform(0.1, 10.0, size=1000)
+        at = AliasTable.build(w)
+        u = jnp.asarray(rng_np.uniform(size=2_000_000).astype(np.float32))
+        idx, pdf, _ = sample_and_remap(at, u)
+        counts = np.bincount(np.asarray(idx), minlength=1000) / len(u)
+        np.testing.assert_allclose(counts, w / w.sum(), atol=2e-3)
+
+    def test_pdf_normalized(self, rng_np):
+        w = rng_np.uniform(0.0, 5.0, size=64)
+        at = AliasTable.build(w)
+        assert abs(float(at.pdf.sum()) - 1.0) < 1e-5
+
+    def test_resample(self, rng_np):
+        w = np.array([0.0, 1.0, 3.0])
+        us = rng_np.uniform(size=100_000)
+        idx = resample_with_f64(w, us)
+        counts = np.bincount(idx, minlength=3) / len(idx)
+        np.testing.assert_allclose(counts, [0, 0.25, 0.75], atol=5e-3)
+
+
+class TestFilm:
+    def test_add_and_develop(self):
+        film = Film.new(4, 4)
+        p = jnp.array([[0.5, 0.5], [0.6, 0.4], [3.2, 3.8]])
+        c = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [2.0, 2.0, 2.0]])
+        w = jnp.ones(3)
+        film = add_samples(film, p, c, w, 4, 4)
+        img = np.asarray(develop(film, 4, 4))
+        np.testing.assert_allclose(img[0, 0], [0.5, 0.5, 0.0], atol=1e-6)
+        np.testing.assert_allclose(img[3, 3], [2.0, 2.0, 2.0], atol=1e-6)
+
+    def test_splat_scale(self):
+        film = Film.new(2, 2)
+        p = jnp.array([[0.1, 0.1]])
+        c = jnp.array([[1.0, 1.0, 1.0]])
+        film = add_splats(film, p, c, jnp.ones(1), 2, 2)
+        img = np.asarray(develop(film, 2, 2, splat_scale=0.5))
+        np.testing.assert_allclose(img[0, 0], 0.5, atol=1e-6)
+
+    def test_masked(self):
+        film = Film.new(2, 2)
+        p = jnp.zeros((4, 2))
+        c = jnp.ones((4, 3))
+        film = add_samples(film, p, c, jnp.ones(4), 2, 2, mask=jnp.array([True, False, True, False]))
+        assert abs(float(film.weight[0]) - 2.0) < 1e-6
+
+
+class TestImageIO:
+    def test_exr_roundtrip(self, tmp_path, rng_np):
+        img = rng_np.uniform(size=(7, 5, 3)).astype(np.float32)
+        f = tmp_path / "t.exr"
+        write_exr(f, img)
+        back = read_exr(f)
+        np.testing.assert_array_equal(back, img)
+
+    def test_exr_readable_by_imageio(self, tmp_path, rng_np):
+        pytest.importorskip("imageio")
+        import imageio.v3 as iio
+
+        img = rng_np.uniform(size=(6, 8, 3)).astype(np.float32)
+        f = tmp_path / "t.exr"
+        write_exr(f, img)
+        try:
+            back = iio.imread(f)
+        except Exception:
+            pytest.skip("imageio lacks an EXR backend here")
+        np.testing.assert_allclose(back[..., :3], img, atol=1e-6)
