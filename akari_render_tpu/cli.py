@@ -1,0 +1,79 @@
+"""Command-line renderer: the akari-cli equivalent.
+
+Reference: crates/akari_api/src/bin/akari_cli.rs — args `-s scene.json -m
+method.json` (+ verbosity / save-intermediate / save-stats). Same flags here
+plus TPU-specific overrides (--res, --spp for quick tests).
+
+Usage:
+    python -m akari_render_tpu.cli -s scenes/cbox/scene.json -m scenes/cbox/pt.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="akari-tpu")
+    ap.add_argument("-s", "--scene", required=True, help="scene.json path")
+    ap.add_argument("-m", "--method", required=True, help="method json path")
+    ap.add_argument("-o", "--output", default=None, help="override output image path")
+    ap.add_argument("--spp", type=int, default=None, help="override spp")
+    ap.add_argument("--res", type=int, default=None, help="override square resolution")
+    ap.add_argument("--save-stats", action="store_true")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    from .config import RenderTask
+    from .core.image_io import write_image
+    from .scene import load_scene
+
+    task = RenderTask.from_file(args.method)
+    if args.spp is not None:
+        task.method.spp = args.spp
+
+    t0 = time.time()
+    scene = load_scene(args.scene, width=args.res, height=args.res)
+    print(
+        f"loaded scene: {scene.num_tris} tris, {len(scene.kinds)} shader kinds, "
+        f"{scene.arrays.lights.num_lights} lights, "
+        f"{scene.camera.width}x{scene.camera.height} ({time.time()-t0:.2f}s)",
+        file=sys.stderr,
+    )
+
+    def progress(p, total, stats):
+        print(f"  pass {p}/{total}  t={stats['time'][-1]:.2f}s", file=sys.stderr)
+
+    if task.method_type == "pt":
+        from .integrators.pt import render_pt
+
+        img, stats = render_pt(scene, task.method, task, progress_cb=progress if args.verbose else None)
+    elif task.method_type in ("mcmc", "mcmc_opt"):
+        from .integrators.mcmc import render_mcmc
+
+        img, stats = render_mcmc(scene, task.method, task)
+    elif task.method_type == "gpt":
+        from .integrators.gpt import render_gpt
+
+        img, stats = render_gpt(scene, task.method, task)
+    elif task.method_type == "aov":
+        from .integrators.aov import render_aov
+
+        img, stats = render_aov(scene, task.method, task)
+    else:
+        raise SystemExit(f"unknown method: {task.method_type}")
+
+    out = args.output or task.out_path
+    write_image(out, img)
+    print(f"wrote {out}  ({stats.get('total_time', 0.0):.2f}s render)", file=sys.stderr)
+    if args.save_stats:
+        stats_path = Path(out).with_suffix(".stats.json")
+        stats_path.write_text(json.dumps(stats, default=float))
+        print(f"wrote {stats_path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Path tracer integrator: per-pass wavefront rendering into a Film.
+
+Reference: crates/akari_integrator/src/pt.rs:1056-1172 (PathTracer::render —
+per-pixel kernel with spp_per_pass inner loop, host pass loop with progress
+and intermediate stats). TPU: each pass jit-traces `spp_chunk` samples for
+every pixel; the host loop accumulates into the film and collects the same
+stats-JSON series (time, spp) the reference emits (lib.rs:24-37).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..camera import generate_rays
+from ..config import PTConfig
+from ..core.film import Film, add_samples, develop
+from ..core.filters import filter_from_config
+from ..core.samplers import IndependentSampler
+from ..scene import Scene
+from .common import PTSettings, trace_paths
+
+
+def _render_pass_fn(scene: Scene, settings: PTSettings, filt, width, height, spp_chunk):
+    """Build the jitted one-pass function (traced once, reused every pass)."""
+
+    npix = width * height
+
+    def one_pass(arrays, film: Film, pass_idx):
+        sc = replace(scene, arrays=arrays)
+        rad_sum = None
+        for s in range(spp_chunk):
+            pix = jnp.arange(npix, dtype=jnp.uint32)
+            # unique stream per (pixel, global sample index)
+            sample_idx = pass_idx * spp_chunk + s
+            from ..core.pcg import U64
+
+            seq = U64(jnp.full(npix, sample_idx, jnp.uint32), pix)
+            from ..core.pcg import Pcg32
+
+            sampler = IndependentSampler(Pcg32.new_seq(seq, seed=sc_seed))
+            sampler, u_film = sampler.next_2d()
+            off, fw = filt.sample(u_film)
+            p_film = (
+                jnp.stack([(pix % width).astype(jnp.float32), (pix // width).astype(jnp.float32)], -1)
+                + 0.5
+                + off
+            )
+            ray_o, ray_d = generate_rays(sc.camera, p_film)
+            radiance, aux, sampler = trace_paths(sc, settings, ray_o, ray_d, sampler)
+            film = add_samples(film, p_film, radiance, fw, width, height)
+        return film
+
+    sc_seed = 0
+    return jax.jit(one_pass, donate_argnums=(1,))
+
+
+def render_pt(scene: Scene, config: PTConfig, task=None, progress_cb=None):
+    """Render, returning (image [H, W, 3] numpy, stats dict)."""
+    width, height = scene.camera.width, scene.camera.height
+    filt = filter_from_config(task.filter_config if task else None)
+    settings = PTSettings(
+        max_depth=config.max_depth,
+        rr_depth=config.rr_depth,
+        use_nee=config.use_nee,
+        indirect_only=config.indirect_only,
+        force_diffuse=config.force_diffuse,
+        clamp_indirect=config.clamp_indirect,
+    )
+    # chunk spp to bound trace size; 1 spp per traced pass keeps compile small
+    spp_chunk = 1
+    n_passes = (config.spp + spp_chunk - 1) // spp_chunk
+    one_pass = _render_pass_fn(scene, settings, filt, width, height, spp_chunk)
+
+    film = Film.new(width, height)
+    stats = {"time": [], "spp": []}
+    t0 = time.time()
+    for p in range(n_passes):
+        film = one_pass(scene.arrays, film, jnp.uint32(p))
+        if progress_cb and (p % 16 == 0 or p == n_passes - 1):
+            jax.block_until_ready(film)
+            stats["time"].append(time.time() - t0)
+            stats["spp"].append((p + 1) * spp_chunk)
+            progress_cb(p + 1, n_passes, stats)
+    jax.block_until_ready(film)
+    stats["total_time"] = time.time() - t0
+    stats["spp_total"] = n_passes * spp_chunk
+    img = np.asarray(develop(film, width, height))
+    return img, stats

@@ -1,0 +1,304 @@
+"""Scene assembly: scenegraph JSON -> device-resident CompiledScene.
+
+The TPU analog of crates/akari_render/src/load.rs SceneLoader::{preload,
+do_load}: flatten geometry, compile shader graphs into kinds + constant
+table, detect emissive instances by per-triangle Monte Carlo emission power
+(load.rs:312-343), build light alias tables, load the camera.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .accel.flatten import TriangleSoup, flatten_scene
+from .camera import PerspectiveCamera, camera_from_scenegraph
+from .core.math import Frame, normalize
+from .lights import LightArrays
+from .scenegraph.model import SceneGraph, load_scene_json
+from .svm.compiler import CompiledKind, CompilerDriver
+from .svm.eval import EvalContext, dispatch_closure, eval_kind
+from .svm.surface import frame_from_n_t
+from .svm.texture import TextureAtlas
+
+
+class SceneArrays(NamedTuple):
+    """Device pytree: everything the integrators touch per ray."""
+
+    # geometry (flat world-space soup)
+    v0: jnp.ndarray
+    e1: jnp.ndarray
+    e2: jnp.ndarray
+    ng: jnp.ndarray
+    area: jnp.ndarray
+    ns: jnp.ndarray  # [T, 3, 3]
+    uv: jnp.ndarray  # [T, 3, 2]
+    inst_id: jnp.ndarray
+    # material binding
+    shader_kind: jnp.ndarray  # [T] int32
+    shader_offset: jnp.ndarray  # [T] int32 (float index into svm_data)
+    svm_data: jnp.ndarray  # [D] float32
+    # lights
+    lights: LightArrays
+
+
+@dataclass
+class Scene:
+    """CompiledScene: static info (kinds, camera) + device arrays."""
+
+    arrays: SceneArrays
+    kinds: list[CompiledKind]
+    camera: PerspectiveCamera
+    atlas: TextureAtlas | None
+    material_names: list[str]
+    num_tris: int
+
+    # ---- shading helpers used by all integrators ----
+    def surface_interaction(self, tri_id, bary):
+        """Gather + interpolate hit attributes (ref mesh.rs:487-655).
+
+        tri_id: [N] int32 (must be valid — clamp before), bary: [N, 2].
+        Returns dict with p, ng, ns, uv, frame(t,b,n), area, kind, offset.
+        """
+        a = self.arrays
+        t = jnp.maximum(tri_id, 0)
+        b0 = bary[..., 0:1]
+        b1 = bary[..., 1:2]
+        v0 = a.v0[t]
+        e1 = a.e1[t]
+        e2 = a.e2[t]
+        p = v0 + e1 * b0 + e2 * b1
+        ng = a.ng[t]
+        w0 = 1.0 - b0 - b1
+        ns_c = a.ns[t]  # [N, 3, 3]
+        ns = normalize(w0 * ns_c[..., 0, :] + b0 * ns_c[..., 1, :] + b1 * ns_c[..., 2, :])
+        uv_c = a.uv[t]  # [N, 3, 2]
+        uv = w0[..., :1] * uv_c[..., 0, :] + b0[..., :1] * uv_c[..., 1, :] + b1[..., :1] * uv_c[..., 2, :]
+        # dpdu tangent (mesh.rs:552-592)
+        duv02 = uv_c[..., 0, :] - uv_c[..., 2, :]
+        duv12 = uv_c[..., 1, :] - uv_c[..., 2, :]
+        dp02 = -e2  # v0 - v2
+        dp12 = e1 - e2  # v1 - v2
+        det = duv02[..., 0] * duv12[..., 1] - duv02[..., 1] * duv12[..., 0]
+        degenerate = jnp.abs(det) < 1e-8
+        inv_det = jnp.where(degenerate, 0.0, 1.0 / jnp.where(degenerate, 1.0, det))
+        tangent = (
+            duv12[..., 1:2] * dp02 - duv02[..., 1:2] * dp12
+        ) * inv_det[..., None]
+        tlen2 = jnp.sum(tangent * tangent, -1)
+        fallback_t, _ = _onb(ng)
+        tangent = jnp.where((degenerate | (tlen2 == 0.0))[..., None], fallback_t, tangent)
+        frame = frame_from_n_t(ns, tangent)
+        return {
+            "p": p,
+            "ng": ng,
+            "ns": ns,
+            "uv": uv,
+            "frame": frame,
+            "area": a.area[t],
+            "kind": a.shader_kind[t],
+            "offset": a.shader_offset[t],
+            "tri_id": t,
+        }
+
+    def eval_context(self, si) -> EvalContext:
+        return EvalContext(
+            data=self.arrays.svm_data,
+            data_offset=si["offset"],
+            uv=si["uv"],
+            p=si["p"],
+            ng=si["ng"],
+            frame=si["frame"],
+            textures=self.atlas,
+        )
+
+    def dispatch_closures(self, si):
+        """Build one SurfaceClosure per shader kind plus the per-lane kind
+        mask — the lax.switch-free analog of Svm::dispatch_surface
+        (eval.rs:444-466): with K kinds we evaluate K closures on all lanes
+        and the integrator blends results by mask. Returns list[(mask, closure)].
+        """
+        ctx = self.eval_context(si)
+        out = []
+        for k, kind in enumerate(self.kinds):
+            mask = si["kind"] == k
+            out.append((mask, dispatch_closure(kind, ctx, mode="surface")))
+        return out
+
+
+def _onb(n):
+    from .core.math import orthonormal_basis
+
+    return orthonormal_basis(n)
+
+
+# ---- loading ----------------------------------------------------------------
+def _estimate_emission_const(graph: dict) -> float | None:
+    """Fast emission scan (load.rs:74-127): returns max emission*strength if
+    statically known, None if texture-driven (conservatively emissive)."""
+    nodes = graph["nodes"]
+    out = nodes[graph["output"]["id"]]
+    assert out["type"] == "output"
+    node = nodes[out["node"]["id"]]
+
+    def const_max(ref):
+        n = nodes[ref["id"]]
+        t = n["type"]
+        if t == "spectral_uplift":
+            return const_max(n["rgb"])
+        if t == "float":
+            return float(n["value"])
+        if t in ("float3", "rgb"):
+            return float(max(n["value"]))
+        return None
+
+    if node["type"] == "principled":
+        e, s = const_max(node["emission_color"]), const_max(node["emission_strength"])
+    elif node["type"] == "emission":
+        e, s = const_max(node["color"]), const_max(node["strength"])
+    else:
+        return 0.0
+    if e is None or s is None:
+        return None  # needs MC estimate
+    return e * s
+
+
+def load_scene(path: str, width: int | None = None, height: int | None = None) -> Scene:
+    sg = load_scene_json(path)
+    soup, mat_names, instance_info = flatten_scene(sg)
+    num_tris = len(soup.v0)
+
+    # compile materials
+    driver = CompilerDriver()
+    images, image_keys = _collect_images(sg)
+    refs = {name: driver.compile(sg.materials[name]["shader"], image_keys) for name in mat_names}
+    svm_data = driver.data_array()
+    kinds = driver.kind_list
+
+    tri_kind = np.array([refs[mat_names[m]].kind for m in soup.mat_id], np.int32)
+    tri_off = np.array([refs[mat_names[m]].data_offset for m in soup.mat_id], np.int32)
+
+    atlas = TextureAtlas.build(images) if images else None
+
+    arrays = SceneArrays(
+        v0=jnp.asarray(soup.v0),
+        e1=jnp.asarray(soup.e1),
+        e2=jnp.asarray(soup.e2),
+        ng=jnp.asarray(soup.ng),
+        area=jnp.asarray(soup.area),
+        ns=jnp.asarray(soup.ns),
+        uv=jnp.asarray(soup.uv),
+        inst_id=jnp.asarray(soup.inst_id),
+        shader_kind=jnp.asarray(tri_kind),
+        shader_offset=jnp.asarray(tri_off),
+        svm_data=jnp.asarray(svm_data),
+        lights=LightArrays.build([], [], num_tris),  # placeholder, rebuilt below
+    )
+    scene = Scene(
+        arrays=arrays,
+        kinds=kinds,
+        camera=camera_from_scenegraph(sg.camera, width, height),
+        atlas=atlas,
+        material_names=mat_names,
+        num_tris=num_tris,
+    )
+
+    # ---- emissive detection + per-triangle power (load.rs:312-414) ----
+    light_powers, light_tris = [], []
+    for info in instance_info:
+        emissive = False
+        needs_mc = False
+        for mname in info["materials"]:
+            e = _estimate_emission_const(sg.materials[mname]["shader"])
+            if e is None:
+                needs_mc = True
+                emissive = True
+            elif e > 0:
+                emissive = True
+        if not emissive:
+            continue
+        s, c = info["tri_start"], info["tri_count"]
+        tri_ids = np.arange(s, s + c, dtype=np.int32)
+        powers = _mc_emission_power(scene, tri_ids, n_samples=16)
+        total = float(powers.sum())
+        if total > 1e-4:
+            light_powers.append(powers)
+            light_tris.append(tri_ids)
+
+    lights = LightArrays.build(light_powers, light_tris, num_tris)
+    scene.arrays = arrays._replace(lights=lights)
+    return scene
+
+
+def _mc_emission_power(scene: Scene, tri_ids: np.ndarray, n_samples: int = 16) -> np.ndarray:
+    """Per-triangle emission power: mean over sampled points of
+    max_rgb(closure.emission(wo)) * prim_area (load.rs:312-343)."""
+    from .core.samplers import IndependentSampler
+    from .core.sampling import cos_sample_hemisphere, uniform_sample_triangle
+
+    m = len(tri_ids)
+    tri = jnp.asarray(np.repeat(tri_ids, n_samples))
+    lanes = jnp.arange(m * n_samples, dtype=jnp.uint32)
+    smp = IndependentSampler.new(lanes, seed=1)
+    smp, u_tri = smp.next_2d()
+    smp, u_dir = smp.next_2d()
+    bary = uniform_sample_triangle(u_tri)
+    si = scene.surface_interaction(tri, bary)
+    wo_local = cos_sample_hemisphere(u_dir)
+    t, b, n = si["frame"]
+    wo = Frame.to_world(t, b, n, wo_local)
+    acc = jnp.zeros(m * n_samples)
+    for mask, closure in scene.dispatch_closures(si):
+        e = closure.emission(wo)
+        acc = jnp.where(mask, jnp.max(e, axis=-1), acc)
+    power = acc * si["area"]
+    return np.asarray(power.reshape(m, n_samples).mean(axis=1), np.float64)
+
+
+def _collect_images(sg: SceneGraph):
+    """Decode all image-texture buffers referenced by shader graphs
+    (load.rs:457-618). Returns (list of [h,w,4] float arrays, key->index)."""
+    from .svm.compiler import _image_key
+
+    keys: dict = {}
+    images: list[np.ndarray] = []
+    for mat in sg.materials.values():
+        for node in mat["shader"]["nodes"].values():
+            if node.get("type") != "image":
+                continue
+            img = node["image"]
+            key = _image_key(img)
+            if key in keys:
+                continue
+            keys[key] = len(images)
+            images.append(_decode_image(sg, img))
+    return images, keys
+
+
+def _decode_image(sg: SceneGraph, img: dict) -> np.ndarray:
+    """Decode one image node's buffer into [h, w, 4] float32 (raw values;
+    sRGB decode happens at sample time per the shader's colorspace).
+    Images are stored v-flipped to match the reference (load.rs:599 flipv)."""
+    data = sg.buffer_view(img["data"], np.uint8)
+    fmt = img.get("format", "png")
+    if fmt == "float":
+        w, h, c = int(img["width"]), int(img["height"]), int(img.get("channels", 4))
+        arr = np.frombuffer(data.tobytes(), np.float32).reshape(h, w, c)
+        if c < 4:
+            pad = np.concatenate(
+                [np.zeros((h, w, 3 - c), np.float32), np.ones((h, w, 1), np.float32)], -1
+            ) if c < 3 else np.ones((h, w, 1), np.float32)
+            arr = np.concatenate([arr, pad[..., : 4 - c]], -1) if c < 4 else arr
+    else:
+        import io
+
+        from PIL import Image
+
+        pil = Image.open(io.BytesIO(data.tobytes()))
+        pil = pil.convert("RGBA")
+        arr = np.asarray(pil, np.float32)
+        if fmt not in ("exr", "float"):
+            arr = arr / 255.0
+    return arr[::-1].copy()  # flip v

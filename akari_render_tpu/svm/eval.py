@@ -1,0 +1,400 @@
+"""SVM evaluator: interpret shader bytecode at trace time into batched JAX ops.
+
+Mirrors crates/akari_render/src/svm/eval.rs — each bytecode node is evaluated
+once (SSA order) at Python trace time and becomes inlined XLA ops; BSDF nodes
+become Surface combinator trees (surface.py). Dynamic typing uses tagged
+Python values instead of Box<dyn Any> (eval.rs:97-379).
+
+Dispatch over shader kinds: the reference emits a device `switch`
+(eval.rs:444-466). Here each kind's closure is evaluated for all lanes and
+results are select-blended by a kind mask (few kinds per scene); a
+sort-by-kind wavefront path can be layered on top later.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core.color import convert_colorspace, srgb_to_linear
+from ..core.sampling import INV_PI
+from .compiler import CompiledKind
+from .microfacet import (
+    TrowbridgeReitz,
+    artistic_to_conductor_fresnel,
+    f0_from_ior,
+    fr_complex,
+    fr_dielectric,
+    ior_from_f0,
+)
+from .precompute import get_table, ggx_dielectric_albedo
+from .surface import (
+    BsdfMixture,
+    CoatedBsdf,
+    DiffuseBsdf,
+    EmissiveSurface,
+    MicrofacetReflection,
+    MicrofacetTransmission,
+    NullSurface,
+    ScaledBsdf,
+    Surface,
+    SurfaceClosure,
+    TransparentSurface,
+    normal_map,
+)
+
+
+class EvalContext(NamedTuple):
+    """Per-batch inputs to shader evaluation."""
+
+    data: jnp.ndarray  # [D] global constant table (f32)
+    data_offset: jnp.ndarray  # [N] per-lane material data offsets
+    uv: jnp.ndarray  # [N, 2]
+    p: jnp.ndarray  # [N, 3] world hit position
+    ng: jnp.ndarray  # [N, 3] world geometric normal
+    frame: tuple  # (t, b, n) world shading frame
+    textures: object | None = None  # texture atlas (svm/texture.py), optional
+    rgb_colorspace: str = "srgb"
+
+
+def _gather(ctx: EvalContext, const_off: int, count: int = 1):
+    """Read `count` floats at per-lane data_offset + const_off."""
+    idx = ctx.data_offset + const_off
+    if count == 1:
+        return ctx.data[idx]
+    return jnp.stack([ctx.data[idx + i] for i in range(count)], axis=-1)
+
+
+class _Evaluator:
+    def __init__(self, kind: CompiledKind, ctx: EvalContext, mode: str):
+        self.kind = kind
+        self.ctx = ctx
+        self.mode = mode  # 'surface' | 'alpha'
+        self.values: list = [None] * len(kind.nodes)
+
+    # --- typed accessors with auto-convert (eval.rs:297-350) ---
+    def _get(self, i: int):
+        if self.values[i] is None:
+            self.values[i] = self._eval(i)
+        return self.values[i]
+
+    def f(self, i: int):
+        tag, v = self._get(i)
+        if tag == "f":
+            return v
+        if tag in ("f2", "f3", "f4"):
+            return v[..., 0]
+        if tag == "color":
+            return v[0][..., 0]
+        raise TypeError(f"cannot convert {tag} to float")
+
+    def f2(self, i: int):
+        tag, v = self._get(i)
+        if tag == "f2":
+            return v
+        if tag in ("f3", "f4"):
+            return v[..., :2]
+        if tag == "f":
+            return jnp.stack([v, jnp.zeros_like(v)], -1)
+        raise TypeError(f"cannot convert {tag} to float2")
+
+    def f3(self, i: int):
+        tag, v = self._get(i)
+        if tag == "f3":
+            return v
+        if tag == "f4":
+            return v[..., :3]
+        if tag == "f2":
+            return jnp.concatenate([v, jnp.zeros_like(v[..., :1])], -1)
+        if tag == "f":
+            z = jnp.zeros_like(v)
+            return jnp.stack([v, z, z], -1)
+        if tag == "color":
+            return v[0]
+        raise TypeError(f"cannot convert {tag} to float3")
+
+    def f4(self, i: int):
+        tag, v = self._get(i)
+        if tag == "f4":
+            return v
+        if tag == "f3":
+            return jnp.concatenate([v, jnp.ones_like(v[..., :1])], -1)
+        raise TypeError(f"cannot convert {tag} to float4")
+
+    def color_alpha(self, i: int):
+        tag, v = self._get(i)
+        if tag == "color":
+            return v
+        if tag == "f4":
+            return (v[..., :3], v[..., 3])
+        f3 = self.f3(i)
+        return (f3, jnp.ones(f3.shape[:-1]))
+
+    def color(self, i: int):
+        return self.color_alpha(i)[0]
+
+    def surface(self, i: int) -> Surface:
+        tag, v = self._get(i)
+        assert tag == "surface", f"node {i} is {tag}, expected surface"
+        return v
+
+    # --- node evaluation ---
+    def _eval(self, i: int):
+        ctx = self.ctx
+        node = self.kind.nodes[i]
+        op = node[0]
+        if op == "float":
+            return ("f", _gather(ctx, node[1]))
+        if op == "float3":
+            return ("f3", _gather(ctx, node[1], 3))
+        if op == "float4":
+            return ("f4", _gather(ctx, node[1], 4))
+        if op == "rgb":
+            rgb = self.f3(node[1])
+            rgb = convert_colorspace(rgb, _cs(node[2]), ctx.rgb_colorspace)
+            return ("f4", jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], -1))
+        if op == "uplift":
+            rgba = self.f4(node[1])
+            return ("color", (rgba[..., :3], rgba[..., 3]))
+        if op == "math":
+            a, b = self.f(node[2]), self.f(node[3])
+            fn = {
+                "add": lambda: a + b,
+                "sub": lambda: a - b,
+                "mul": lambda: a * b,
+                "div": lambda: a / jnp.where(b == 0, 1.0, b),
+                "pow": lambda: jnp.power(jnp.maximum(a, 0.0), b),
+            }[node[1]]
+            return ("f", fn())
+        if op == "image":
+            tex_idx = _gather(ctx, node[1]).astype(jnp.int32)
+            uv = self.f2(node[3]) if node[3] is not None else ctx.uv
+            from .texture import sample_texture
+
+            rgba = sample_texture(ctx.textures, tex_idx, uv, node[4], node[5])
+            rgb = rgba[..., :3]
+            if node[2] != "none":
+                rgb = srgb_to_linear(rgb) if _cs(node[2]) == "srgb" else rgb
+            return ("f4", jnp.concatenate([rgb, rgba[..., 3:4]], -1))
+        if op == "checker":
+            uv = self.f2(node[1]) if node[1] is not None else ctx.uv
+            scale = self.f(node[2])
+            c1, a1 = self.color_alpha(node[3])
+            c2, a2 = self.color_alpha(node[4])
+            pos = jnp.floor(uv * scale[..., None] * 2.0).astype(jnp.int32)
+            first = (pos[..., 0] + pos[..., 1]) % 2 == 0
+            return (
+                "color",
+                (
+                    jnp.where(first[..., None], c1, c2),
+                    jnp.where(first, a1, a2),
+                ),
+            )
+        if op == "noise":
+            from .texture import perlin_noise
+
+            scale = self.f(node[2])
+            val = perlin_noise(ctx.uv * scale[..., None], dim=node[1])
+            return ("f", val)
+        if op == "mapping":
+            v = self.f3(node[2])
+            loc = self.f3(node[3])
+            scale = self.f3(node[5])
+            if node[1] == "point":
+                return ("f3", v * scale + loc)
+            return ("f3", (v - loc) / jnp.where(scale == 0, 1.0, scale))
+        if op == "texcoords":
+            return ("f2", ctx.uv)
+        if op == "separate_color":
+            c = self.f3(node[2])
+            return ("fields", {"Red": c[..., 0], "Green": c[..., 1], "Blue": c[..., 2]})
+        if op == "extract":
+            tag, v = self._get(node[1])
+            assert tag == "fields", f"extract from {tag}"
+            return ("f", v[node[2]])
+        if op == "normal_map":
+            n = 2.0 * self.f3(node[1]) - 1.0
+            strength = self.f(node[2])
+            n = n * jnp.stack([strength, strength, jnp.ones_like(strength)], -1)
+            return ("f3", n)
+        if op == "output":
+            return self._get(node[1])
+        # --- BSDF closures ---
+        if self.mode == "alpha":
+            return ("surface", self._eval_alpha_closure(node))
+        if op == "diffuse":
+            refl, _ = self.color_alpha(node[1])
+            return ("surface", DiffuseBsdf(refl * INV_PI))
+        if op == "emission":
+            color = self.color(node[1])
+            strength = self.f(node[2])
+            return ("surface", EmissiveSurface(None, color * strength[..., None]))
+        if op == "glass":
+            return ("surface", self._glass(node))
+        if op == "plastic":
+            return ("surface", self._plastic(node))
+        if op == "mix_bsdf":
+            a = self.surface(node[1])
+            b = self.surface(node[2])
+            fac = self.f(node[3])
+            return ("surface", BsdfMixture(lambda wo: fac, a, b, "mix"))
+        if op == "principled":
+            return ("surface", self._principled(dict(node[1])))
+        raise NotImplementedError(f"svm node op: {op}")
+
+    def _eval_alpha_closure(self, node) -> Surface:
+        """Alpha-only evaluation: cheap closure for any-hit tests (eval.rs:27-33)."""
+        op = node[0]
+        if op in ("diffuse",):
+            _, alpha = self.color_alpha(node[1])
+        elif op == "principled":
+            _, alpha = self.color_alpha(dict(node[1])["base_color"])
+        else:
+            alpha = jnp.ones(self.ctx.uv.shape[:-1])
+        return TransparentSurface(NullSurface(), alpha)
+
+    def _glass(self, node) -> Surface:
+        """Fresnel-weighted reflection+transmission (ref svm/surface/glass.rs:13-45)."""
+        kr = self.color(node[1])
+        kt = jnp.sqrt(jnp.clip(self.color(node[2]), 0.0, None))
+        eta = self.f(node[3])
+        roughness = self.f(node[4])
+        dist = TrowbridgeReitz.from_roughness(roughness)
+        fresnel = lambda c: fr_dielectric(c, eta)[..., None] * jnp.ones(3)
+        refl = MicrofacetReflection(kr, fresnel, dist)
+        trans = MicrofacetTransmission(kt, eta, fresnel, dist)
+        from ..core.math import Frame
+
+        return BsdfMixture(
+            lambda wo: fr_dielectric(Frame.cos_theta(wo), eta), trans, refl, "add"
+        )
+
+    def _plastic(self, node) -> Surface:
+        """Coated diffuse (ref svm/surface/plastic.rs, simplified to the
+        energy-split CoatedBsdf combinator used by principled)."""
+        kd = self.color(node[1])
+        ks = self.color(node[2])
+        eta = self.f(node[3])
+        roughness = self.f(node[4])
+        dist = TrowbridgeReitz.from_roughness(roughness)
+        fresnel = lambda c: fr_dielectric(c, eta)[..., None] * jnp.ones(3)
+        spec = MicrofacetReflection(ks, fresnel, dist)
+        diff = DiffuseBsdf(kd * INV_PI)
+        table = get_table("ggx_dielectric_s")
+        from ..core.math import Frame
+
+        def e_top(wo):
+            alb = ggx_dielectric_albedo(table, roughness, Frame.abs_cos_theta(wo), eta)
+            return ks * alb[..., None]
+
+        return CoatedBsdf(top=spec, bottom=diff, e_top_fn=e_top)
+
+    def _principled(self, inp: dict) -> Surface:
+        """Blender 4.0 Principled BSDF combinator tree — mirrors
+        crates/akari_render/src/svm/surface/principled.rs:11-215 exactly."""
+        ctx = self.ctx
+        color, _alpha = self.color_alpha(inp["base_color"])
+        transmission_color = jnp.sqrt(jnp.clip(color, 0.0, None))
+        emission = self.color(inp["emission_color"]) * self.f(inp["emission_strength"])[..., None]
+        metallic = self.f(inp["metallic"])
+        roughness = self.f(inp["roughness"])
+        eta = self.f(inp["ior"])
+        transmission = self.f(inp["transmission_weight"])
+        diffuse = DiffuseBsdf(color * INV_PI)
+        specular_ior_level = self.f(inp["specular_ior_level"])
+        specular_tint = self.color(inp["specular_tint"])
+        clearcoat_weight = self.f(inp["coat_weight"])
+        clearcoat_roughness = self.f(inp["coat_roughness"])
+        clearcoat_ior = self.f(inp["coat_ior"])
+        clearcoat_tint = self.color(inp["coat_tint"])
+        table = get_table("ggx_dielectric_s")
+        from ..core.math import Frame
+
+        # specular layer: f0 tweaked by specular_ior_level (principled.rs:55-80)
+        f0 = f0_from_ior(eta)
+        f0 = jnp.where(specular_ior_level != 0.5, f0 * 2.0 * specular_ior_level, f0)
+        spec_eta = jnp.where(specular_ior_level != 0.5, ior_from_f0(f0), eta)
+        specular_weight = f0
+        spec_fresnel = lambda c: fr_dielectric(c, spec_eta)[..., None] * jnp.ones(3)
+        specular_brdf = MicrofacetReflection(
+            specular_tint * f0[..., None],
+            spec_fresnel,
+            TrowbridgeReitz.from_roughness(roughness),
+        )
+
+        def specular_albedo(cos):
+            return ggx_dielectric_albedo(table, roughness, cos, spec_eta)
+
+        coat_fresnel = lambda c: fr_dielectric(c, clearcoat_ior)[..., None] * jnp.ones(3)
+        clearcoat_brdf = MicrofacetReflection(
+            jnp.ones_like(color) * clearcoat_weight[..., None],
+            coat_fresnel,
+            TrowbridgeReitz.from_roughness(clearcoat_roughness),
+        )
+
+        def coat_albedo(cos):
+            return ggx_dielectric_albedo(table, clearcoat_roughness, cos, clearcoat_ior)
+
+        # dielectric = fresnel-weighted reflection+transmission (principled.rs:99-130)
+        diel_fresnel = lambda c: fr_dielectric(c, eta)[..., None] * jnp.ones(3)
+        diel_dist = TrowbridgeReitz.from_roughness(roughness)
+        diel_refl = MicrofacetReflection(color, diel_fresnel, diel_dist)
+        diel_trans = MicrofacetTransmission(transmission_color, eta, diel_fresnel, diel_dist)
+        dielectric = BsdfMixture(
+            lambda wo: fr_dielectric(Frame.cos_theta(wo), eta), diel_trans, diel_refl, "add"
+        )
+
+        # metal (principled.rs:131-142)
+        n_m, k_m = artistic_to_conductor_fresnel(color, specular_tint)
+        metal = MicrofacetReflection(
+            jnp.ones_like(color),
+            lambda c: fr_complex(jnp.abs(c), n_m, k_m),
+            TrowbridgeReitz.from_roughness(roughness),
+        )
+
+        bsdf = BsdfMixture(lambda wo: transmission, diffuse, dielectric, "mix")
+        bsdf = CoatedBsdf(
+            top=specular_brdf,
+            bottom=bsdf,
+            e_top_fn=lambda wo: specular_tint
+            * (specular_albedo(Frame.abs_cos_theta(wo)) * specular_weight)[..., None],
+        )
+        bsdf = BsdfMixture(lambda wo: metallic, bsdf, metal, "mix")
+        bsdf = EmissiveSurface(bsdf, emission)
+        bsdf = CoatedBsdf(
+            top=clearcoat_brdf,
+            bottom=ScaledBsdf(
+                bsdf,
+                lambda wo: 1.0 + (clearcoat_tint - 1.0) * clearcoat_weight[..., None],
+            ),
+            e_top_fn=lambda wo: (clearcoat_weight * coat_albedo(Frame.abs_cos_theta(wo)))[
+                ..., None
+            ]
+            * jnp.ones(3),
+        )
+        # tangent-space normal input: x/y negated (principled.rs:200-215)
+        nrm = self.f3(inp["normal"]) * jnp.array([-1.0, -1.0, 1.0])
+        return normal_map(bsdf, nrm, ctx.ng, ctx.frame, "tangent")
+
+
+def eval_kind(kind: CompiledKind, ctx: EvalContext, mode: str = "surface"):
+    """Evaluate one shader kind over all lanes; returns its output value.
+
+    For surface graphs the result is a Surface (possibly a nested
+    SurfaceClosure from normal mapping) in the *shading-frame local space* —
+    wrap with the outer world closure via `dispatch_closure`.
+    """
+    ev = _Evaluator(kind, ctx, mode)
+    tag, v = ev._get(kind.output)
+    return tag, v
+
+
+def dispatch_closure(kind: CompiledKind, ctx: EvalContext, mode: str = "surface") -> SurfaceClosure:
+    """Evaluate a kind and wrap in the world-space closure (eval.rs:404-423)."""
+    tag, surf = eval_kind(kind, ctx, mode)
+    assert tag == "surface"
+    return SurfaceClosure(surf, ctx.frame, ctx.ng)
+
+
+def _cs(name: str) -> str:
+    return {"srgb": "srgb", "aces": "aces", "none": "srgb"}.get(name, "srgb")

@@ -1,0 +1,123 @@
+"""Precomputed BSDF albedo tables (GGX dielectric directional albedo).
+
+Reference: crates/akari_render/src/svm/surface/precompute.rs — a 16^3 table
+over (roughness, mu=cos_theta, z) with ior = ior_from_f0(z^4), each cell an
+MC estimate of E[f/pdf] for a GGX+dielectric-Fresnel reflection lobe; cached
+to disk next to the executable. Here: one jitted MC batch, cached as .npy
+under ~/.cache/akari_render_tpu.
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.math import Frame
+from .microfacet import TrowbridgeReitz, fr_dielectric, ior_from_f0
+
+DIM = 16
+_SAMPLES = 1 << 16
+
+_cache: dict[str, jnp.ndarray] = {}
+
+
+def _cache_dir() -> Path:
+    d = Path(os.environ.get("AKR_CACHE_DIR", Path.home() / ".cache" / "akari_render_tpu"))
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def _compute_ggx_dielectric_table() -> np.ndarray:
+    """Directional albedo of GGX reflection with dielectric Fresnel."""
+    grid = np.clip(np.arange(DIM) / (DIM - 1.0), 1e-4, 0.9999)
+    rough, mu, z = np.meshgrid(grid, grid, grid, indexing="ij")
+    rough = jnp.asarray(rough.ravel(), jnp.float32)
+    mu = jnp.asarray(mu.ravel(), jnp.float32)
+    ior = ior_from_f0(jnp.asarray(z.ravel(), jnp.float32) ** 4)
+
+    n_cells = rough.shape[0]
+
+    @jax.jit
+    def one_round(key):
+        u = jax.random.uniform(key, (n_cells, 2))
+        dist = TrowbridgeReitz.from_roughness(rough, sample_visible=True)
+        wo = jnp.stack([jnp.sqrt(jnp.maximum(0.0, 1.0 - mu * mu)), jnp.zeros_like(mu), mu], -1)
+        wh = dist.sample_wh(wo, u)
+        wi = -wo + 2.0 * jnp.sum(wo * wh, -1, keepdims=True) * wh
+        valid = Frame.same_hemisphere(wo, wi)
+        # f/pdf for the VNDF estimator of MicrofacetReflection:
+        # f = F D G / (4 cos_o cos_i) * cos_i ; pdf = D G1 |wo.wh| / cos_o / (4 |wo.wh|)
+        fr = fr_dielectric(jnp.sum(wi * wh, -1), ior)
+        d = dist.d(wh)
+        g = dist.g(wo, wi)
+        cos_o = Frame.cos_theta(wo)
+        cos_i = Frame.cos_theta(wi)
+        f = fr * jnp.abs(0.25 * d * g / jnp.maximum(jnp.abs(cos_o * cos_i), 1e-12)) * jnp.abs(cos_i)
+        pdf = dist.pdf(wo, wh) / jnp.maximum(4.0 * jnp.abs(jnp.sum(wo * wh, -1)), 1e-12)
+        val = jnp.where(valid & (pdf > 0.0), f / jnp.maximum(pdf, 1e-20), 0.0)
+        return val
+
+    per_batch = 256  # samples per cell per jit call
+    n_batches = max(1, _SAMPLES // per_batch)
+
+    batched = jax.jit(lambda key: jax.vmap(one_round)(jax.random.split(key, per_batch)).sum(0))
+    acc = np.zeros(n_cells, np.float64)
+    key = jax.random.PRNGKey(0)
+    for i in range(n_batches):
+        acc += np.asarray(batched(jax.random.fold_in(key, i)), np.float64)
+    return (acc / (n_batches * per_batch)).astype(np.float32).reshape(DIM, DIM, DIM)
+
+
+def get_table(name: str = "ggx_dielectric_s") -> jnp.ndarray:
+    if name in _cache:
+        return _cache[name]
+    path = _cache_dir() / f"{name}.{DIM}.npy"
+    if path.exists():
+        tbl = np.load(path)
+    else:
+        assert name == "ggx_dielectric_s", name
+        tbl = _compute_ggx_dielectric_table()
+        np.save(path, tbl)
+    t = jnp.asarray(tbl)
+    _cache[name] = t
+    return t
+
+
+def read_3d(table, x, y, z):
+    """Trilinear lookup matching the reference's read_3d (mod.rs:1212-1262):
+    coordinates in [0,1] scaled by (size-1). table is [X, Y, Z] but the
+    reference's linear layout is x-fastest, i.e. index = x + y*X + z*X*Y —
+    so axis order here is table[z, y, x] after reshape; we store [x, y, z]
+    numpy-style and index accordingly."""
+
+    def lerp_idx(c, size):
+        c = jnp.clip(c, 0.0, 1.0) * (size - 1.0)
+        i0 = jnp.floor(c).astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, size - 1)
+        return i0, i1, c - i0.astype(jnp.float32)
+
+    X, Y, Z = table.shape
+    x0, x1, tx = lerp_idx(x, X)
+    y0, y1, ty = lerp_idx(y, Y)
+    z0, z1, tz = lerp_idx(z, Z)
+
+    def g(i, j, k):
+        return table[i, j, k]
+
+    c00 = g(x0, y0, z0) * (1 - tx) + g(x1, y0, z0) * tx
+    c10 = g(x0, y1, z0) * (1 - tx) + g(x1, y1, z0) * tx
+    c01 = g(x0, y0, z1) * (1 - tx) + g(x1, y0, z1) * tx
+    c11 = g(x0, y1, z1) * (1 - tx) + g(x1, y1, z1) * tx
+    c0 = c00 * (1 - ty) + c10 * ty
+    c1 = c01 * (1 - ty) + c11 * ty
+    return c0 * (1 - tz) + c1 * tz
+
+
+def ggx_dielectric_albedo(table, roughness, cos_theta_i, eta):
+    """surface/mod.rs:1144-1154."""
+    z = jnp.sqrt(jnp.abs((eta - 1.0) / (eta + 1.0)))
+    c = jnp.abs(jnp.clip(cos_theta_i, -0.999, 0.999))
+    return read_3d(table, roughness, c, z)
