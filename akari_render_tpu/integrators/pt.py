@@ -24,37 +24,45 @@ from ..scene import Scene
 from .common import PTSettings, trace_paths
 
 
-def _render_pass_fn(scene: Scene, settings: PTSettings, filt, width, height, spp_chunk):
-    """Build the jitted one-pass function (traced once, reused every pass)."""
+def _render_pass_fn(scene: Scene, settings: PTSettings, filt, width, height, spp_chunk, seed=0):
+    """Build the jitted one-pass function (traced once, reused every pass).
+
+    Renders `spp_chunk` samples per pixel per call with the sample loop
+    INSIDE jit (lax.fori_loop) so one device dispatch covers the whole pass —
+    important under the remote-TPU relay where each dispatch has high latency.
+    """
 
     npix = width * height
+    from ..core.pcg import Pcg32, U64
+
+    def one_sample(sample_idx, carry):
+        film, arrays = carry
+        sc = replace(scene, arrays=arrays)
+        pix = jnp.arange(npix, dtype=jnp.uint32)
+        # unique stream per (pixel, global sample index)
+        seq = U64(sample_idx.astype(jnp.uint32) ^ jnp.uint32(seed), pix)
+        sampler = IndependentSampler(Pcg32.new_seq(seq))
+        sampler, u_film = sampler.next_2d()
+        off, fw = filt.sample(u_film)
+        p_film = (
+            jnp.stack(
+                [(pix % width).astype(jnp.float32), (pix // width).astype(jnp.float32)], -1
+            )
+            + 0.5
+            + off
+        )
+        ray_o, ray_d = generate_rays(sc.camera, p_film)
+        radiance, aux, sampler = trace_paths(sc, settings, ray_o, ray_d, sampler)
+        film = add_samples(film, p_film, radiance, fw, width, height)
+        return film, arrays
 
     def one_pass(arrays, film: Film, pass_idx):
-        sc = replace(scene, arrays=arrays)
-        rad_sum = None
-        for s in range(spp_chunk):
-            pix = jnp.arange(npix, dtype=jnp.uint32)
-            # unique stream per (pixel, global sample index)
-            sample_idx = pass_idx * spp_chunk + s
-            from ..core.pcg import U64
-
-            seq = U64(jnp.full(npix, sample_idx, jnp.uint32), pix)
-            from ..core.pcg import Pcg32
-
-            sampler = IndependentSampler(Pcg32.new_seq(seq, seed=sc_seed))
-            sampler, u_film = sampler.next_2d()
-            off, fw = filt.sample(u_film)
-            p_film = (
-                jnp.stack([(pix % width).astype(jnp.float32), (pix // width).astype(jnp.float32)], -1)
-                + 0.5
-                + off
-            )
-            ray_o, ray_d = generate_rays(sc.camera, p_film)
-            radiance, aux, sampler = trace_paths(sc, settings, ray_o, ray_d, sampler)
-            film = add_samples(film, p_film, radiance, fw, width, height)
+        start = pass_idx.astype(jnp.int32) * spp_chunk
+        film, _ = jax.lax.fori_loop(
+            start, start + spp_chunk, one_sample, (film, arrays)
+        )
         return film
 
-    sc_seed = 0
     return jax.jit(one_pass, donate_argnums=(1,))
 
 
@@ -70,10 +78,13 @@ def render_pt(scene: Scene, config: PTConfig, task=None, progress_cb=None):
         force_diffuse=config.force_diffuse,
         clamp_indirect=config.clamp_indirect,
     )
-    # chunk spp to bound trace size; 1 spp per traced pass keeps compile small
-    spp_chunk = 1
+    # samples per dispatch: amortize device-dispatch latency without
+    # blowing up per-pass wall time (the sample loop is fori inside jit)
+    spp_chunk = min(config.spp, config.spp_per_pass)
     n_passes = (config.spp + spp_chunk - 1) // spp_chunk
-    one_pass = _render_pass_fn(scene, settings, filt, width, height, spp_chunk)
+    one_pass = _render_pass_fn(
+        scene, settings, filt, width, height, spp_chunk, seed=task.seed if task else 0
+    )
 
     film = Film.new(width, height)
     stats = {"time": [], "spp": []}

@@ -156,6 +156,10 @@ def _estimate_emission_const(graph: dict) -> float | None:
 
     if node["type"] == "principled":
         e, s = const_max(node["emission_color"]), const_max(node["emission_strength"])
+        # a non-zero clearcoat scales emission by (1 - E_coat) — needs MC
+        cw = const_max(node["coat_weight"]) if "coat_weight" in node else 0.0
+        if cw is None or cw != 0.0:
+            return None
     elif node["type"] == "emission":
         e, s = const_max(node["color"]), const_max(node["strength"])
     else:
@@ -166,6 +170,11 @@ def _estimate_emission_const(graph: dict) -> float | None:
 
 
 def load_scene(path: str, width: int | None = None, height: int | None = None) -> Scene:
+    # materialize precompute tables eagerly (never inside a jit trace) —
+    # the reference does the same at load (svm.init_precompute_tables, load.rs:264)
+    from .svm.precompute import get_table
+
+    get_table("ggx_dielectric_s")
     sg = load_scene_json(path)
     soup, mat_names, instance_info = flatten_scene(sg)
     num_tris = len(soup.v0)
@@ -207,9 +216,11 @@ def load_scene(path: str, width: int | None = None, height: int | None = None) -
 
     # ---- emissive detection + per-triangle power (load.rs:312-414) ----
     light_powers, light_tris = [], []
+    areas_np = soup.area
     for info in instance_info:
         emissive = False
         needs_mc = False
+        const_power = 0.0
         for mname in info["materials"]:
             e = _estimate_emission_const(sg.materials[mname]["shader"])
             if e is None:
@@ -217,11 +228,23 @@ def load_scene(path: str, width: int | None = None, height: int | None = None) -
                 emissive = True
             elif e > 0:
                 emissive = True
+                const_power = max(const_power, e)
         if not emissive:
             continue
         s, c = info["tri_start"], info["tri_count"]
         tri_ids = np.arange(s, s + c, dtype=np.int32)
-        powers = _mc_emission_power(scene, tri_ids, n_samples=16)
+        if needs_mc:
+            powers = _mc_emission_power(scene, tri_ids, n_samples=16)
+        else:
+            # constant emission: the MC estimate reduces exactly to
+            # max_rgb(emission) * area per triangle — skip the device pass
+            per_mat = np.array(
+                [
+                    _estimate_emission_const(sg.materials[mat_names[m]]["shader"]) or 0.0
+                    for m in soup.mat_id[s : s + c]
+                ]
+            )
+            powers = (per_mat * areas_np[s : s + c]).astype(np.float64)
         total = float(powers.sum())
         if total > 1e-4:
             light_powers.append(powers)

@@ -19,7 +19,7 @@ from ..core.math import Frame
 from .microfacet import TrowbridgeReitz, fr_dielectric, ior_from_f0
 
 DIM = 16
-_SAMPLES = 1 << 16
+_SAMPLES = 1 << 14
 
 _cache: dict[str, jnp.ndarray] = {}
 
@@ -60,7 +60,7 @@ def _compute_ggx_dielectric_table() -> np.ndarray:
         val = jnp.where(valid & (pdf > 0.0), f / jnp.maximum(pdf, 1e-20), 0.0)
         return val
 
-    per_batch = 256  # samples per cell per jit call
+    per_batch = 2048  # samples per cell per jit call
     n_batches = max(1, _SAMPLES // per_batch)
 
     batched = jax.jit(lambda key: jax.vmap(one_round)(jax.random.split(key, per_batch)).sum(0))
@@ -72,18 +72,18 @@ def _compute_ggx_dielectric_table() -> np.ndarray:
 
 
 def get_table(name: str = "ggx_dielectric_s") -> jnp.ndarray:
-    if name in _cache:
-        return _cache[name]
-    path = _cache_dir() / f"{name}.{DIM}.npy"
-    if path.exists():
-        tbl = np.load(path)
-    else:
-        assert name == "ggx_dielectric_s", name
-        tbl = _compute_ggx_dielectric_table()
-        np.save(path, tbl)
-    t = jnp.asarray(tbl)
-    _cache[name] = t
-    return t
+    # cache NUMPY arrays (never traced values) — converting inside a trace
+    # must produce a fresh constant each time or tracers leak via the cache
+    if name not in _cache:
+        path = _cache_dir() / f"{name}.{DIM}.npy"
+        if path.exists():
+            tbl = np.load(path)
+        else:
+            assert name == "ggx_dielectric_s", name
+            tbl = _compute_ggx_dielectric_table()
+            np.save(path, tbl)
+        _cache[name] = np.asarray(tbl)
+    return jnp.asarray(_cache[name])
 
 
 def read_3d(table, x, y, z):

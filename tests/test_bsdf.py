@@ -1,0 +1,220 @@
+"""BSDF statistical tests — the TPU port of the reference's akari-test
+harness (crates/akari_api/src/bin/akari_test.rs:16-439): chi-square tests of
+`sample_wi` histograms against the claimed pdf, plus energy and reciprocity
+checks, for each BSDF family.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from akari_render_tpu.core.math import Frame
+from akari_render_tpu.core.samplers import IndependentSampler
+from akari_render_tpu.svm.microfacet import TrowbridgeReitz, fr_dielectric
+from akari_render_tpu.svm.surface import (
+    BsdfMixture,
+    DiffuseBsdf,
+    MicrofacetReflection,
+    MicrofacetTransmission,
+)
+
+N_SAMPLES = 200_000
+THETA_BINS = 16
+PHI_BINS = 32
+
+
+def _sample_bsdf(surface, wo, n):
+    s = IndependentSampler.new(jnp.arange(n, dtype=jnp.uint32), seed=42)
+    s, u_sel = s.next_1d()
+    s, u = s.next_2d()
+    wo_b = jnp.broadcast_to(jnp.asarray(wo, jnp.float32), (n, 3))
+    wi, valid = surface.sample_wi(wo_b, u_sel, u)
+    _, pdf = surface.evaluate(wo_b, wi)
+    return np.asarray(wi), np.asarray(valid & (pdf > 0)), np.asarray(pdf)
+
+
+def _histogram(wi, valid):
+    """Bin directions over the full sphere: theta in [0, pi], phi in [0, 2pi]."""
+    theta = np.arccos(np.clip(wi[:, 2], -1, 1))
+    phi = np.mod(np.arctan2(wi[:, 1], wi[:, 0]), 2 * np.pi)
+    ti = np.minimum((theta / np.pi * THETA_BINS).astype(int), THETA_BINS - 1)
+    pi_ = np.minimum((phi / (2 * np.pi) * PHI_BINS).astype(int), PHI_BINS - 1)
+    counts = np.zeros((THETA_BINS, PHI_BINS))
+    np.add.at(counts, (ti[valid], pi_[valid]), 1.0)
+    return counts
+
+
+def _expected_counts(surface, wo, n_total, sub=8):
+    """Integrate the claimed pdf over each bin with a subgrid midpoint rule."""
+    t_edges = np.linspace(0, np.pi, THETA_BINS * sub + 1)
+    p_edges = np.linspace(0, 2 * np.pi, PHI_BINS * sub + 1)
+    tc = 0.5 * (t_edges[:-1] + t_edges[1:])
+    pc = 0.5 * (p_edges[:-1] + p_edges[1:])
+    T, P = np.meshgrid(tc, pc, indexing="ij")
+    wi = np.stack(
+        [np.sin(T) * np.cos(P), np.sin(T) * np.sin(P), np.cos(T)], -1
+    ).reshape(-1, 3)
+    wo_b = jnp.broadcast_to(jnp.asarray(wo, jnp.float32), (wi.shape[0], 3))
+    _, pdf = surface.evaluate(wo_b, jnp.asarray(wi, jnp.float32))
+    pdf = np.asarray(pdf).reshape(THETA_BINS * sub, PHI_BINS * sub)
+    dt = np.pi / (THETA_BINS * sub)
+    dp = 2 * np.pi / (PHI_BINS * sub)
+    sin_t = np.sin(T).reshape(pdf.shape)
+    cell = pdf * sin_t * dt * dp
+    blocks = cell.reshape(THETA_BINS, sub, PHI_BINS, sub).sum(axis=(1, 3))
+    return blocks * n_total
+
+
+def _chi2_threshold(dof, alpha=1e-3):
+    """Wilson-Hilferty approximation of the chi2 upper quantile."""
+    from math import sqrt
+
+    z = 3.09  # z_{1-1e-3}
+    return dof * (1 - 2 / (9 * dof) + z * sqrt(2 / (9 * dof))) ** 3
+
+
+def _run_chi2(surface, wo, n=N_SAMPLES, sub=8):
+    """Pooled chi2 (merge low-expectation cells like akari_test.rs:139-219)."""
+    wi, valid, _ = _sample_bsdf(surface, wo, n)
+    n_valid = valid.sum()
+    obs = _histogram(wi, valid)
+    exp = _expected_counts(surface, wo, n, sub=sub)
+    # The sampler may emit invalid samples (e.g. below-horizon GGX); the pdf
+    # claimed by evaluate() only covers valid ones — normalize both to the
+    # same mass to test SHAPE (the pdf-integrates-to-valid-fraction property
+    # is checked separately in energy tests).
+    obs_f = obs.ravel()
+    exp_f = exp.ravel()
+    pooled_obs, pooled_exp, chi2 = 0.0, 0.0, 0.0
+    dof = 0
+    for o, e in zip(obs_f, exp_f):
+        pooled_obs += o
+        pooled_exp += e
+        if pooled_exp >= 5.0:
+            chi2 += (pooled_obs - pooled_exp) ** 2 / pooled_exp
+            dof += 1
+            pooled_obs, pooled_exp = 0.0, 0.0
+    assert dof > 5, "degenerate chi2 binning"
+    thresh = _chi2_threshold(dof)
+    assert chi2 < thresh, f"chi2={chi2:.1f} > {thresh:.1f} (dof={dof})"
+
+
+def _wo(theta_deg):
+    t = np.deg2rad(theta_deg)
+    return np.array([np.sin(t), 0.0, np.cos(t)], np.float32)
+
+
+class TestDiffuseChi2:
+    def test_normal_incidence(self):
+        _run_chi2(DiffuseBsdf(jnp.ones(3) / np.pi), _wo(0.0))
+
+    def test_grazing(self):
+        _run_chi2(DiffuseBsdf(jnp.ones(3) / np.pi), _wo(75.0))
+
+
+class TestGGXReflectionChi2:
+    @pytest.mark.parametrize("rough", [0.1, 0.3, 0.6, 1.0])
+    def test_vndf(self, rough):
+        dist = TrowbridgeReitz.from_roughness(jnp.float32(rough))
+        bsdf = MicrofacetReflection(
+            jnp.ones(3), lambda c: jnp.ones(3) * jnp.ones_like(c)[..., None], dist
+        )
+        # sharp lobes need a finer subgrid for the pdf bin integrals
+        _run_chi2(bsdf, _wo(30.0), sub=32 if rough < 0.3 else 8)
+
+    def test_classic_sampling(self):
+        dist = TrowbridgeReitz.from_roughness(jnp.float32(0.5), sample_visible=False)
+        bsdf = MicrofacetReflection(
+            jnp.ones(3), lambda c: jnp.ones(3) * jnp.ones_like(c)[..., None], dist
+        )
+        _run_chi2(bsdf, _wo(30.0))
+
+
+class TestGGXTransmissionChi2:
+    @pytest.mark.parametrize("rough", [0.3, 0.8])
+    def test_transmission(self, rough):
+        eta = jnp.float32(1.5)
+        dist = TrowbridgeReitz.from_roughness(jnp.float32(rough))
+        fresnel = lambda c: fr_dielectric(c, eta)[..., None] * jnp.ones(3)
+        bsdf = MicrofacetTransmission(jnp.ones(3), eta, fresnel, dist)
+        _run_chi2(bsdf, _wo(30.0))
+
+
+class TestGlassChi2:
+    def test_glass_mixture(self):
+        eta = jnp.float32(1.5)
+        rough = jnp.float32(0.4)
+        dist = TrowbridgeReitz.from_roughness(rough)
+        fresnel = lambda c: fr_dielectric(c, eta)[..., None] * jnp.ones(3)
+        refl = MicrofacetReflection(jnp.ones(3), fresnel, dist)
+        trans = MicrofacetTransmission(jnp.ones(3), eta, fresnel, dist)
+        glass = BsdfMixture(
+            lambda wo: fr_dielectric(Frame.cos_theta(wo), eta), trans, refl, "add"
+        )
+        _run_chi2(glass, _wo(45.0))
+
+
+class TestEnergy:
+    def test_white_diffuse_furnace(self):
+        """E[f/pdf] for white lambert == 1 exactly."""
+        bsdf = DiffuseBsdf(jnp.ones(3) / np.pi)
+        wo = _wo(37.0)
+        n = 100_000
+        s = IndependentSampler.new(jnp.arange(n, dtype=jnp.uint32), seed=5)
+        s, u_sel = s.next_1d()
+        s, u = s.next_2d()
+        wo_b = jnp.broadcast_to(jnp.asarray(wo), (n, 3))
+        wi, valid = bsdf.sample_wi(wo_b, u_sel, u)
+        f, pdf = bsdf.evaluate(wo_b, wi)
+        est = np.asarray(f[..., 0] / jnp.maximum(pdf, 1e-20))
+        assert abs(est[np.asarray(valid)].mean() - 1.0) < 2e-3
+
+    @pytest.mark.parametrize("rough", [0.2, 0.7])
+    def test_ggx_energy_below_one(self, rough):
+        """White GGX reflection never gains energy."""
+        dist = TrowbridgeReitz.from_roughness(jnp.float32(rough))
+        bsdf = MicrofacetReflection(
+            jnp.ones(3), lambda c: jnp.ones(3) * jnp.ones_like(c)[..., None], dist
+        )
+        wo = _wo(40.0)
+        n = 100_000
+        s = IndependentSampler.new(jnp.arange(n, dtype=jnp.uint32), seed=6)
+        s, u_sel = s.next_1d()
+        s, u = s.next_2d()
+        wo_b = jnp.broadcast_to(jnp.asarray(wo), (n, 3))
+        wi, valid = bsdf.sample_wi(wo_b, u_sel, u)
+        f, pdf = bsdf.evaluate(wo_b, wi)
+        w = np.asarray(
+            jnp.where(valid & (pdf > 0), f[..., 0] / jnp.maximum(pdf, 1e-20), 0.0)
+        )
+        assert w.mean() <= 1.0 + 1e-2
+
+    def test_reciprocity_diffuse(self):
+        """f(wo,wi)/cos(wi) == f(wi,wo)/cos(wo) for lambert."""
+        bsdf = DiffuseBsdf(jnp.full(3, 0.5 / np.pi))
+        rng = np.random.default_rng(0)
+        v = rng.normal(size=(64, 2, 3)).astype(np.float32)
+        v[..., 2] = np.abs(v[..., 2])
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        wo, wi = jnp.asarray(v[:, 0]), jnp.asarray(v[:, 1])
+        f1, _ = bsdf.evaluate(wo, wi)
+        f2, _ = bsdf.evaluate(wi, wo)
+        r1 = np.asarray(f1[..., 0]) / np.abs(v[:, 1, 2])
+        r2 = np.asarray(f2[..., 0]) / np.abs(v[:, 0, 2])
+        np.testing.assert_allclose(r1, r2, rtol=1e-5)
+
+
+class TestInversion:
+    """Sampler inversion round-trips (akari_test.rs:440-510) — required for
+    MCMC replay correctness."""
+
+    def test_ggx_classic_invert_wh(self):
+        dist = TrowbridgeReitz.from_roughness(
+            jnp.full((4096,), 0.5), sample_visible=False
+        )
+        rng = np.random.default_rng(3)
+        u = jnp.asarray(rng.uniform(0.01, 0.99, (4096, 2)).astype(np.float32))
+        wo = jnp.broadcast_to(jnp.asarray(_wo(30.0)), (4096, 3))
+        wh = dist.sample_wh(wo, u)
+        u2 = np.asarray(dist.invert_wh(wo, wh))
+        bad = (np.abs(u2 - np.asarray(u)) > 0.01).any(axis=-1)
+        assert bad.mean() < 0.01, f"{bad.mean():.3%} failed round-trip"
