@@ -3,24 +3,24 @@
 Replaces LuisaCompute's rtx::Accel (ref scene.rs:42-185). TPU has no RT
 hardware, so traversal is software:
 
-- brute force: test every ray against every triangle with broadcasting.
-  For small scenes (cbox: ~36 tris) this IS speed-of-light on TPU — it's a
-  dense [N, T] computation with perfect vectorization and zero divergence.
-- BVH: wide-node traversal for large scenes (accel/bvh.py).
+- brute force: every ray against every triangle. Laid out TPU-first: all
+  intermediates are [T, N] with the LANE axis (N rays) minor — full 128-wide
+  VPU utilization — and per-component scalar arithmetic (no [..., 3] vectors
+  whose minor dim would waste 125/128 lanes). For small scenes (cbox: 36
+  tris) this is speed-of-light; big scenes go through the BVH (accel/bvh.py).
+- self-intersection avoidance uses the reference's exclusion-id scheme
+  (geometry.rs:18-25): rays carry an excluded triangle id (plus origin
+  offsetting, pt.rs:856).
 
-Self-intersection avoidance uses the reference's exclusion-id scheme
-(geometry.rs:18-25): rays carry up to two excluded triangle ids instead of
-epsilon offsets (we still offset origins like pt.rs:856 as belt+braces).
+Chunking over T bounds the [chunk, N] temporaries for large scenes.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
-from ..core.math import RAY_TMAX, cross, dot
+from ..core.math import RAY_TMAX
 
 
 class Hit(NamedTuple):
@@ -30,32 +30,51 @@ class Hit(NamedTuple):
     valid: jnp.ndarray  # [N] bool
 
 
-_CHUNK_T = 2048  # triangles per brute-force chunk (bounds [N, CHUNK] temporaries)
+_CHUNK_T = 512  # triangles per chunk: bounds [chunk, N] temporaries
 
 
-def _ray_tri_chunk(o, d, tmin, tmax, v0, e1, e2):
-    """Möller-Trumbore for all rays x all triangles in a chunk.
+def _chunk_hits(o, d, tmin, tmax, v0, e1, e2, exclude0, exclude1, tri_base):
+    """Möller-Trumbore, all rays x one triangle chunk.
 
-    o, d: [N, 3]; v0, e1, e2: [T, 3]. Returns (t [N,T], u [N,T], v [N,T], hit [N,T]).
-    Watertight enough with f32 for parity with embree-style HW traversal.
+    o, d: [N, 3]; v0/e1/e2: [T, 3]. Returns (t, u, v, hit) each [T, N].
     """
-    # pvec = d x e2 : [N, T, 3]
-    pvec = cross(d[:, None, :], e2[None, :, :])
-    det = jnp.sum(pvec * e1[None, :, :], axis=-1)  # [N, T]
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    v0x, v0y, v0z = v0[:, 0:1], v0[:, 1:2], v0[:, 2:3]  # [T, 1]
+    e1x, e1y, e1z = e1[:, 0:1], e1[:, 1:2], e1[:, 2:3]
+    e2x, e2y, e2z = e2[:, 0:1], e2[:, 1:2], e2[:, 2:3]
+
+    # pvec = d x e2  -> [T, N]
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
     inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-    tvec = o[:, None, :] - v0[None, :, :]
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = cross(tvec, e1[None, :, :])
-    v = jnp.sum(qvec * d[:, None, :], axis=-1) * inv_det
-    t = jnp.sum(qvec * e2[None, :, :], axis=-1) * inv_det
+    # tvec = o - v0
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    # qvec = tvec x e1
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (qx * dx + qy * dy + qz * dz) * inv_det
+    t = (qx * e2x + qy * e2y + qz * e2z) * inv_det
     hit = (
         (jnp.abs(det) > 1e-12)
         & (u >= 0.0)
         & (v >= 0.0)
         & (u + v <= 1.0)
-        & (t > tmin[:, None])
-        & (t < tmax[:, None])
+        & (t > tmin)
+        & (t < tmax)
     )
+    n_chunk = v0.shape[0]
+    tri_ids = tri_base + jnp.arange(n_chunk, dtype=jnp.int32)[:, None]
+    if exclude0 is not None:
+        hit = hit & (tri_ids != exclude0)
+    if exclude1 is not None:
+        hit = hit & (tri_ids != exclude1)
     return t, u, v, hit
 
 
@@ -65,31 +84,38 @@ def intersect_brute_force(
     """Closest-hit over the full triangle soup (chunked over T)."""
     n = o.shape[0]
     num_tris = v0.shape[0]
-    best_t = jnp.full((n,), RAY_TMAX, jnp.float32)
-    best_t = jnp.minimum(best_t, tmax)
+    best_t = jnp.minimum(jnp.full((n,), RAY_TMAX, jnp.float32), tmax)
     best_id = jnp.full((n,), -1, jnp.int32)
-    best_uv = jnp.zeros((n, 2), jnp.float32)
+    best_u = jnp.zeros((n,), jnp.float32)
+    best_v = jnp.zeros((n,), jnp.float32)
+    ex0 = exclude0[None, :] if exclude0 is not None else None
+    ex1 = exclude1[None, :] if exclude1 is not None else None
 
     for start in range(0, num_tris, _CHUNK_T):
         end = min(start + _CHUNK_T, num_tris)
-        t, u, v, hit = _ray_tri_chunk(
-            o, d, tmin, best_t, v0[start:end], e1[start:end], e2[start:end]
+        t, u, v, hit = _chunk_hits(
+            o, d, tmin, best_t, v0[start:end], e1[start:end], e2[start:end],
+            ex0, ex1, jnp.int32(start),
         )
-        tri_ids = jnp.arange(start, end, dtype=jnp.int32)[None, :]
-        if exclude0 is not None:
-            hit = hit & (tri_ids != exclude0[:, None])
-        if exclude1 is not None:
-            hit = hit & (tri_ids != exclude1[:, None])
-        t = jnp.where(hit, t, RAY_TMAX)
-        am = jnp.argmin(t, axis=-1)
-        rows = jnp.arange(n)
-        ct, cu, cv, chit = t[rows, am], u[rows, am], v[rows, am], hit[rows, am]
+        t_m = jnp.where(hit, t, RAY_TMAX)
+        am = jnp.argmin(t_m, axis=0)  # [N]
+        sel = jnp.arange(end - start, dtype=jnp.int32)[:, None] == am[None, :]
+        ct = jnp.min(t_m, axis=0)
+        cu = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
+        cv = jnp.sum(jnp.where(sel, v, 0.0), axis=0)
+        chit = jnp.any(hit, axis=0)
         better = chit & (ct < best_t)
         best_t = jnp.where(better, ct, best_t)
         best_id = jnp.where(better, jnp.int32(start) + am.astype(jnp.int32), best_id)
-        best_uv = jnp.where(better[:, None], jnp.stack([cu, cv], -1), best_uv)
+        best_u = jnp.where(better, cu, best_u)
+        best_v = jnp.where(better, cv, best_v)
 
-    return Hit(t=best_t, tri_id=best_id, bary=best_uv, valid=best_id >= 0)
+    return Hit(
+        t=best_t,
+        tri_id=best_id,
+        bary=jnp.stack([best_u, best_v], axis=-1),
+        valid=best_id >= 0,
+    )
 
 
 def occlude_brute_force(o, d, tmin, tmax, v0, e1, e2, exclude0=None, exclude1=None):
@@ -97,15 +123,13 @@ def occlude_brute_force(o, d, tmin, tmax, v0, e1, e2, exclude0=None, exclude1=No
     n = o.shape[0]
     num_tris = v0.shape[0]
     occluded = jnp.zeros((n,), bool)
+    ex0 = exclude0[None, :] if exclude0 is not None else None
+    ex1 = exclude1[None, :] if exclude1 is not None else None
     for start in range(0, num_tris, _CHUNK_T):
         end = min(start + _CHUNK_T, num_tris)
-        _, _, _, hit = _ray_tri_chunk(
-            o, d, tmin, tmax, v0[start:end], e1[start:end], e2[start:end]
+        _, _, _, hit = _chunk_hits(
+            o, d, tmin, tmax, v0[start:end], e1[start:end], e2[start:end],
+            ex0, ex1, jnp.int32(start),
         )
-        tri_ids = jnp.arange(start, end, dtype=jnp.int32)[None, :]
-        if exclude0 is not None:
-            hit = hit & (tri_ids != exclude0[:, None])
-        if exclude1 is not None:
-            hit = hit & (tri_ids != exclude1[:, None])
-        occluded = occluded | jnp.any(hit, axis=-1)
+        occluded = occluded | jnp.any(hit, axis=0)
     return occluded

@@ -63,6 +63,11 @@ def main(argv=None):
         from .integrators.aov import render_aov
 
         img, stats = render_aov(scene, task.method, task)
+        base = Path(args.output or task.out_path)
+        for name, im in stats.pop("images").items():
+            p = base.with_name(f"{base.stem}_{name}{base.suffix}")
+            write_image(p, im)
+            print(f"wrote {p}", file=sys.stderr)
     else:
         raise SystemExit(f"unknown method: {task.method_type}")
 

@@ -88,7 +88,10 @@ class GPTConfig:
     shift_mapping_min_dist: float = 0.03
     shift_mapping_min_roughness: float = 0.2
     stride: int = 1
-    uniform_weights: bool = False
+    # uniform-weight Jacobi preserves the mean and wins at low spp; the
+    # inverse-variance mode (reference default) is available but biased
+    # without the reference's per-iteration alpha schedule
+    uniform_weights: bool = True
 
     @staticmethod
     def from_json(d: dict) -> "GPTConfig":

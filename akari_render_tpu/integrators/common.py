@@ -96,13 +96,12 @@ def trace_paths(
 
     def add_emission(st, depth, si, lane_hit, wo):
         """Surface-light hit + MIS weighting (pt.rs:230-258). depth: jnp scalar."""
-        tri_light = a.lights.tri_light_id[si["tri_id"]]
         front = dot(si["ng"], st["ray_d"]) < 0.0
-        ok = lane_hit & (tri_light >= 0) & front
+        ok = lane_hit & (si["light_id"] >= 0) & front
         le = _select_by_kind(scene, si, lambda c: c.emission(wo))
         if settings.use_nee:
             lpdf = pdf_direct(
-                a.lights, si["tri_id"], si["area"], si["ng"], si["p"], st["ray_o"]
+                a.lights, si["light_id"], si["prim_pdf"], si["area"], si["ng"], si["p"], st["ray_o"]
             )
             w = jnp.where(depth == 0, 1.0, mis_weight(st["prev_bsdf_pdf"], lpdf))
         else:

@@ -1,0 +1,267 @@
+"""Kelemen-style PSSMLT Metropolis integrator.
+
+Reference: crates/akari_integrator/src/mcmc_opt.rs (the active MCMC path) +
+crates/akari_render/src/sampler/mcmc.rs (KELEMEN_MUTATE). Semantics kept:
+bootstrap + CPU resampling (distribution.rs:92-115), Kelemen exponential
+small-steps (sizes 1/1024..1/64) with large-step prob, expected-value
+splatting of both states, on-device running normalization b, splat_scale
+b/spp at readout (mcmc_opt.rs:600-622).
+
+TPU design: one CHAIN per lane (mcmc_opt.rs runs one chain per GPU thread —
+embarrassingly parallel either way). Differences from the reference's
+implementation strategy, same math:
+- the per-dim lazy `last_modified` catch-up (mcmc_opt.rs:150-206) is
+  unnecessary here: we mutate all D dims every step with vectorized ops,
+  which is the same random walk the lazy scheme defers;
+- accept/reject keeps cur/proposal PSS vectors as separate arrays instead of
+  in-place backups.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import replace
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..camera import generate_rays
+from ..config import MCMCConfig
+from ..core.distribution import resample_with_f64
+from ..core.film import Film, add_splats, add_samples, develop
+from ..core.filters import filter_from_config
+from ..core.pcg import Pcg32, U64, pcg32_next_f32
+from ..core.samplers import IndependentSampler
+from ..scene import Scene
+from .common import PTSettings, trace_paths
+
+KELEMEN_LOW = 1.0 / 1024.0
+KELEMEN_HIGH = 1.0 / 64.0
+KELEMEN_LOG_RATIO = -np.log(KELEMEN_HIGH / KELEMEN_LOW)
+
+
+class ReplaySampler(NamedTuple):
+    """Sampler that replays a PSS vector, falling back to fresh randoms
+    beyond its dimension (ref LazyMcmcSampler, mcmc_opt.rs:61-120)."""
+
+    pss: jnp.ndarray  # [C, D]
+    dim: jnp.ndarray  # [C] current dimension counter
+    rng: Pcg32  # fallback stream
+
+    def next_1d(self):
+        d = self.pss.shape[-1]
+        rng, fresh = pcg32_next_f32(self.rng)
+        idx = jnp.minimum(self.dim, d - 1)
+        replay = jnp.take_along_axis(self.pss, idx[..., None], axis=-1)[..., 0]
+        u = jnp.where(self.dim < d, replay, fresh)
+        return ReplaySampler(self.pss, self.dim + 1, rng), u
+
+    def next_2d(self):
+        s, a = self.next_1d()
+        s, b = s.next_1d()
+        return s, jnp.stack([a, b], -1)
+
+    def next_3d(self):
+        s, a = self.next_1d()
+        s, b = s.next_1d()
+        s, c = s.next_1d()
+        return s, jnp.stack([a, b, c], -1)
+
+
+def sample_dimension(mcmc_depth: int) -> int:
+    """4 + 1 + (1+depth)*7 (mcmc_opt.rs:230-232)."""
+    return 4 + 1 + (1 + mcmc_depth) * 7
+
+
+def kelemen_mutate(cur, u):
+    """Exponential small-step mutation (sampler/mcmc.rs:92-126), batched."""
+    add = u < 0.5
+    uu = jnp.where(add, u * 2.0, (u - 0.5) * 2.0)
+    dv = KELEMEN_HIGH * jnp.exp(KELEMEN_LOG_RATIO * uu)
+    up = cur + dv
+    up = jnp.where(up > 1.0, up - 1.0, up)
+    dn = cur - dv
+    dn = jnp.where(dn < 0.0, dn + 1.0, dn)
+    return jnp.where(add, up, dn)
+
+
+def _evaluate(scene: Scene, settings: PTSettings, filt, pss, fallback_rng):
+    """PSS vector -> (p_film [C,2], radiance [C,3], f [C]) (mcmc_opt.rs:253-304)."""
+    width, height = scene.camera.width, scene.camera.height
+    sampler = ReplaySampler(pss, jnp.zeros(pss.shape[0], jnp.int32), fallback_rng)
+    sampler, u_pix = sampler.next_2d()
+    res = jnp.array([width, height], jnp.float32)
+    pix = jnp.clip(
+        jnp.floor(u_pix * res).astype(jnp.int32), 0, jnp.array([width - 1, height - 1])
+    )
+    sampler, u_film = sampler.next_2d()
+    off, fw = filt.sample(u_film)
+    p_film = pix.astype(jnp.float32) + 0.5 + off
+    ray_o, ray_d = generate_rays(scene.camera, p_film)
+    radiance, _, sampler = trace_paths(scene, settings, ray_o, ray_d, sampler)
+    radiance = radiance * fw[..., None]
+    f = jnp.clip(jnp.max(radiance, axis=-1), 0.0, 1e5)  # scalar_contribution
+    return p_film, radiance, f, sampler.rng
+
+
+def render_mcmc(scene: Scene, config: MCMCConfig, task=None, progress_cb=None):
+    t_start = time.time()
+    width, height = scene.camera.width, scene.camera.height
+    npixels = width * height
+    filt = filter_from_config(task.filter_config if task else None)
+    mcmc_depth = config.mcmc_depth if config.mcmc_depth is not None else config.max_depth
+    indirect_only = config.direct_spp >= 0
+    settings = PTSettings(
+        max_depth=config.max_depth,
+        rr_depth=config.rr_depth,
+        use_nee=config.use_nee,
+        indirect_only=indirect_only,
+    )
+    D = sample_dimension(mcmc_depth)
+    C = config.n_chains
+    seed = task.seed if task else 0
+
+    # ---- bootstrap (mcmc_opt.rs:309-408) ----
+    nb = config.n_bootstrap
+    boot_eval = jax.jit(
+        lambda pss, rng: _evaluate(scene, settings, filt, pss, rng)[2]
+    )
+    # generate bootstrap PSS vectors deterministically from their index
+    def boot_pss(idx):
+        rng = Pcg32.new_seq(U64(jnp.full_like(idx, seed ^ 0xB00), idx))
+        us = []
+        for _ in range(D):
+            rng, u = pcg32_next_f32(rng)
+            us.append(u)
+        return jnp.stack(us, -1)
+
+    boot_chunk = min(nb, 1 << 17)
+    fs = []
+    make_pss = jax.jit(boot_pss)
+    for start in range(0, nb, boot_chunk):
+        idx = jnp.arange(start, min(start + boot_chunk, nb), dtype=jnp.uint32)
+        pss = make_pss(idx)
+        rng = IndependentSampler.new(idx, seed=seed ^ 0xF00).rng
+        fs.append(np.asarray(boot_eval(pss, rng)))
+    fs = np.concatenate(fs)
+    b_init = float(fs.mean())
+    assert b_init > 0.0, "bootstrap failed: black image?"
+    host_rng = np.random.default_rng(seed)
+    chain_idx = resample_with_f64(fs, host_rng.uniform(size=C))
+    pss = make_pss(jnp.asarray(chain_idx.astype(np.uint32)))
+    rng0 = IndependentSampler.new(jnp.asarray(chain_idx.astype(np.uint32)), seed=seed ^ 0xF00).rng
+    cur_p, cur_color, cur_f, _ = jax.jit(
+        lambda p, r: _evaluate(scene, settings, filt, p, r)
+    )(pss, rng0)
+
+    # ---- chain advance (mcmc_opt.rs:409-560) ----
+    chain_rng = IndependentSampler.new(jnp.arange(C, dtype=jnp.uint32), seed=seed ^ 0xC4A1).rng
+
+    def mutate_step(i, carry):
+        (pss, cur_p, cur_color, cur_f, rng, film, b, b_cnt, n_acc, n_mut) = carry
+        rng, u_large = pcg32_next_f32(rng)
+        is_large = u_large < config.large_step_prob
+        # proposal PSS: large = fresh; small = kelemen on all dims
+        us = []
+        for _ in range(D):
+            rng, u = pcg32_next_f32(rng)
+            us.append(u)
+        u_mat = jnp.stack(us, -1)  # [C, D]
+        us2 = []
+        for _ in range(D):
+            rng, u = pcg32_next_f32(rng)
+            us2.append(u)
+        fresh = jnp.stack(us2, -1)
+        if config.exponential_mutation:
+            small = kelemen_mutate(pss, u_mat)
+        else:
+            from ..core.sampling import sample_gaussian
+
+            small = pss + sample_gaussian(u_mat) * config.small_sigma
+            small = small - jnp.floor(small)
+        prop = jnp.where(is_large[..., None], fresh, small)
+        prop_p, prop_color, prop_f, rng = _evaluate(scene, settings, filt, prop, rng)
+        b = b + jnp.where(is_large, prop_f, 0.0).sum()
+        b_cnt = b_cnt + is_large.sum()
+        accept = jnp.where(
+            jnp.isfinite(prop_f),
+            jnp.where(
+                (cur_f == 0.0) | ~jnp.isfinite(cur_f),
+                1.0,
+                jnp.clip(prop_f / jnp.maximum(cur_f, 1e-30), 0.0, 1.0),
+            ),
+            0.0,
+        )
+        # expected-value splats of both states (mcmc_opt.rs:468-480)
+        film = add_splats(
+            film, prop_p, prop_color / jnp.maximum(prop_f, 1e-30)[..., None],
+            accept, width, height, mask=accept > 0,
+        )
+        film = add_splats(
+            film, cur_p, cur_color / jnp.maximum(cur_f, 1e-30)[..., None],
+            (1.0 - accept), width, height, mask=cur_f > 0,
+        )
+        rng, u_acc = pcg32_next_f32(rng)
+        take = u_acc < accept
+        pss = jnp.where(take[..., None], prop, pss)
+        cur_p = jnp.where(take[..., None], prop_p, cur_p)
+        cur_color = jnp.where(take[..., None], prop_color, cur_color)
+        cur_f = jnp.where(take, prop_f, cur_f)
+        n_acc = n_acc + (take & ~is_large).sum()
+        n_mut = n_mut + (~is_large).sum()
+        return (pss, cur_p, cur_color, cur_f, rng, film, b, b_cnt, n_acc, n_mut)
+
+    @jax.jit
+    def advance(carry, n_steps):
+        return jax.lax.fori_loop(0, n_steps, mutate_step, carry)
+
+    film = Film.new(width, height)
+    b = jnp.float32(0.0)
+    b_cnt = jnp.int32(0)
+    n_acc = jnp.int32(0)
+    n_mut = jnp.int32(0)
+    carry = (pss, cur_p, cur_color, cur_f, chain_rng, film, b, b_cnt, n_acc, n_mut)
+
+    total_mutations = npixels * config.spp
+    mutations_per_chain = max(1, total_mutations // C)
+    per_dispatch = max(1, (npixels * config.spp_per_pass) // C)
+    done = 0
+    while done < mutations_per_chain:
+        step = min(per_dispatch, mutations_per_chain - done)
+        carry = advance(carry, jnp.int32(step))
+        done += step
+    jax.block_until_ready(carry)
+    (pss, cur_p, cur_color, cur_f, chain_rng, film, b, b_cnt, n_acc, n_mut) = carry
+
+    # ---- reconstruct (mcmc_opt.rs:600-622) ----
+    b_total = (b_init * nb + float(b)) / (nb + int(b_cnt))
+    eff_spp = mutations_per_chain * C / npixels
+    splat_scale = b_total / eff_spp
+    accept_rate = float(n_acc) / max(1, int(n_mut))
+
+    img = np.asarray(develop(film, width, height, splat_scale=splat_scale))
+    stats = {
+        "total_time": time.time() - t_start,
+        "b": b_total,
+        "acceptance": accept_rate,
+        "spp_total": eff_spp,
+    }
+
+    # ---- separate direct pass (mcmc_opt.rs:705-729) ----
+    if config.direct_spp > 0:
+        from ..config import PTConfig
+        from .pt import render_pt
+
+        direct_cfg = PTConfig(
+            spp=config.direct_spp,
+            max_depth=1,
+            rr_depth=config.rr_depth,
+            use_nee=config.use_nee,
+            spp_per_pass=min(config.direct_spp, 32),
+        )
+        direct_img, dstats = render_pt(scene, direct_cfg, task)
+        img = img + direct_img
+        stats["direct_time"] = dstats["total_time"]
+        stats["total_time"] = time.time() - t_start
+    return img, stats

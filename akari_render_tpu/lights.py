@@ -168,11 +168,11 @@ def finish_light_sample(
     )
 
 
-def pdf_direct(lights: LightArrays, tri_id, area, ng, p_light, pn_p):
-    """Solid-angle pdf of having sampled triangle tri_id toward pn
-    (area.rs:108-130 x light-choice pdf, mod.rs:133-147)."""
-    light = lights.tri_light_id[tri_id]
-    prim_pdf = lights.tri_prim_pdf[tri_id]
+def pdf_direct(lights: LightArrays, light, prim_pdf, area, ng, p_light, pn_p):
+    """Solid-angle pdf of having sampled the hit light triangle toward pn
+    (area.rs:108-130 x light-choice pdf, mod.rs:133-147).
+
+    `light`/`prim_pdf` come prefetched from the surface interaction."""
     choice_pdf = jnp.where(light >= 0, lights.sel_pdf[jnp.maximum(light, 0)], 0.0)
     wi = p_light - pn_p
     dist2 = length_squared(wi)

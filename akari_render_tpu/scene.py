@@ -38,8 +38,11 @@ class SceneArrays(NamedTuple):
     inst_id: jnp.ndarray
     # material binding
     shader_kind: jnp.ndarray  # [T] int32
-    shader_offset: jnp.ndarray  # [T] int32 (float index into svm_data)
-    svm_data: jnp.ndarray  # [D] float32
+    tri_mat: jnp.ndarray  # [T] int32 global material index
+    param_mats: tuple  # per-kind [num_materials, kind_width] constant matrices
+    # packed per-triangle attribute matrix for one-hot fetch (small scenes):
+    # [T, 34] = v0 e1 e2 ng area ns(9) uv(6) kind mat light_id prim_pdf
+    attr: jnp.ndarray
     # lights
     lights: LightArrays
 
@@ -55,26 +58,55 @@ class Scene:
     material_names: list[str]
     num_tris: int
 
+    # max triangle count for the one-hot-matmul attribute fetch; beyond this
+    # the [N, T] one-hot outweighs gathers (BVH scenes use the gather path)
+    ONE_HOT_MAX_TRIS = 2048
+
     # ---- shading helpers used by all integrators ----
     def surface_interaction(self, tri_id, bary):
-        """Gather + interpolate hit attributes (ref mesh.rs:487-655).
+        """Fetch + interpolate hit attributes (ref mesh.rs:487-655).
 
-        tri_id: [N] int32 (must be valid — clamp before), bary: [N, 2].
-        Returns dict with p, ng, ns, uv, frame(t,b,n), area, kind, offset.
+        tri_id: [N] int32 (clamped), bary: [N, 2]. Returns dict with p, ng,
+        ns, uv, frame(t,b,n), area, kind, mat, light_id, prim_pdf.
+
+        Small scenes fetch ALL per-tri attributes with one one-hot matmul
+        [N, T] @ [T, 34] — one MXU pass instead of ~15 gathers.
         """
+        import jax
+
         a = self.arrays
         t = jnp.maximum(tri_id, 0)
         b0 = bary[..., 0:1]
         b1 = bary[..., 1:2]
-        v0 = a.v0[t]
-        e1 = a.e1[t]
-        e2 = a.e2[t]
+        if self.num_tris <= self.ONE_HOT_MAX_TRIS:
+            oh = jax.nn.one_hot(t, a.attr.shape[0], dtype=jnp.float32)
+            attr = oh @ a.attr
+            v0 = attr[..., 0:3]
+            e1 = attr[..., 3:6]
+            e2 = attr[..., 6:9]
+            ng = attr[..., 9:12]
+            area = attr[..., 12]
+            ns_c = attr[..., 13:22].reshape(attr.shape[:-1] + (3, 3))
+            uv_c = attr[..., 22:28].reshape(attr.shape[:-1] + (3, 2))
+            kind = attr[..., 28].astype(jnp.int32)
+            mat = attr[..., 29].astype(jnp.int32)
+            light_id = attr[..., 30].astype(jnp.int32)
+            prim_pdf = attr[..., 31]
+        else:
+            v0 = a.v0[t]
+            e1 = a.e1[t]
+            e2 = a.e2[t]
+            ng = a.ng[t]
+            area = a.area[t]
+            ns_c = a.ns[t]
+            uv_c = a.uv[t]
+            kind = a.shader_kind[t]
+            mat = a.tri_mat[t]
+            light_id = a.lights.tri_light_id[t]
+            prim_pdf = a.lights.tri_prim_pdf[t]
         p = v0 + e1 * b0 + e2 * b1
-        ng = a.ng[t]
         w0 = 1.0 - b0 - b1
-        ns_c = a.ns[t]  # [N, 3, 3]
         ns = normalize(w0 * ns_c[..., 0, :] + b0 * ns_c[..., 1, :] + b1 * ns_c[..., 2, :])
-        uv_c = a.uv[t]  # [N, 3, 2]
         uv = w0[..., :1] * uv_c[..., 0, :] + b0[..., :1] * uv_c[..., 1, :] + b1[..., :1] * uv_c[..., 2, :]
         # dpdu tangent (mesh.rs:552-592)
         duv02 = uv_c[..., 0, :] - uv_c[..., 2, :]
@@ -97,16 +129,26 @@ class Scene:
             "ns": ns,
             "uv": uv,
             "frame": frame,
-            "area": a.area[t],
-            "kind": a.shader_kind[t],
-            "offset": a.shader_offset[t],
+            "area": area,
+            "kind": kind,
+            "mat": mat,
+            "light_id": light_id,
+            "prim_pdf": prim_pdf,
             "tri_id": t,
         }
 
-    def eval_context(self, si) -> EvalContext:
+    def eval_context(self, si, kind_idx: int) -> EvalContext:
+        """Prefetch all per-lane shader constants with ONE one-hot matmul
+        (gathers are the slowest TPU primitive; an [N, M] @ [M, C] matmul
+        rides the MXU instead)."""
+        import jax
+
+        mat_matrix = self.arrays.param_mats[kind_idx]
+        n_mats = mat_matrix.shape[0]
+        onehot = jax.nn.one_hot(si["mat"], n_mats, dtype=jnp.float32)
+        params = onehot @ mat_matrix
         return EvalContext(
-            data=self.arrays.svm_data,
-            data_offset=si["offset"],
+            params=params,
             uv=si["uv"],
             p=si["p"],
             ng=si["ng"],
@@ -120,10 +162,10 @@ class Scene:
         (eval.rs:444-466): with K kinds we evaluate K closures on all lanes
         and the integrator blends results by mask. Returns list[(mask, closure)].
         """
-        ctx = self.eval_context(si)
         out = []
         for k, kind in enumerate(self.kinds):
             mask = si["kind"] == k
+            ctx = self.eval_context(si, k)
             out.append((mask, dispatch_closure(kind, ctx, mode="surface")))
         return out
 
@@ -183,14 +225,13 @@ def load_scene(path: str, width: int | None = None, height: int | None = None) -
     driver = CompilerDriver()
     images, image_keys = _collect_images(sg)
     refs = {name: driver.compile(sg.materials[name]["shader"], image_keys) for name in mat_names}
-    svm_data = driver.data_array()
     kinds = driver.kind_list
 
     tri_kind = np.array([refs[mat_names[m]].kind for m in soup.mat_id], np.int32)
-    tri_off = np.array([refs[mat_names[m]].data_offset for m in soup.mat_id], np.int32)
 
     atlas = TextureAtlas.build(images) if images else None
 
+    placeholder_lights = LightArrays.build([], [], num_tris)
     arrays = SceneArrays(
         v0=jnp.asarray(soup.v0),
         e1=jnp.asarray(soup.e1),
@@ -201,9 +242,10 @@ def load_scene(path: str, width: int | None = None, height: int | None = None) -
         uv=jnp.asarray(soup.uv),
         inst_id=jnp.asarray(soup.inst_id),
         shader_kind=jnp.asarray(tri_kind),
-        shader_offset=jnp.asarray(tri_off),
-        svm_data=jnp.asarray(svm_data),
-        lights=LightArrays.build([], [], num_tris),  # placeholder, rebuilt below
+        tri_mat=jnp.asarray(soup.mat_id.astype(np.int32)),
+        param_mats=tuple(jnp.asarray(m) for m in driver.param_matrices()),
+        attr=_build_attr(soup, tri_kind, placeholder_lights),
+        lights=placeholder_lights,  # rebuilt below once emission is known
     )
     scene = Scene(
         arrays=arrays,
@@ -251,8 +293,30 @@ def load_scene(path: str, width: int | None = None, height: int | None = None) -
             light_tris.append(tri_ids)
 
     lights = LightArrays.build(light_powers, light_tris, num_tris)
-    scene.arrays = arrays._replace(lights=lights)
+    scene.arrays = arrays._replace(
+        lights=lights, attr=_build_attr(soup, tri_kind, lights)
+    )
     return scene
+
+
+def _build_attr(soup: TriangleSoup, tri_kind: np.ndarray, lights: LightArrays) -> jnp.ndarray:
+    """Pack all per-triangle attributes into one [T, 32] matrix for the
+    one-hot-matmul fetch path of surface_interaction."""
+    T = len(soup.v0)
+    cols = [
+        soup.v0,
+        soup.e1,
+        soup.e2,
+        soup.ng,
+        soup.area[:, None],
+        soup.ns.reshape(T, 9),
+        soup.uv.reshape(T, 6),
+        tri_kind[:, None].astype(np.float32),
+        soup.mat_id[:, None].astype(np.float32),
+        np.asarray(lights.tri_light_id)[:, None].astype(np.float32),
+        np.asarray(lights.tri_prim_pdf)[:, None],
+    ]
+    return jnp.asarray(np.concatenate([np.asarray(c, np.float32) for c in cols], axis=1))
 
 
 def _mc_emission_power(scene: Scene, tri_ids: np.ndarray, n_samples: int = 16) -> np.ndarray:

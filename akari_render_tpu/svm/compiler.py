@@ -60,11 +60,18 @@ class ShaderRef:
 
 @dataclass
 class CompilerDriver:
-    """Dedupes compiled graphs into kinds; packs constants (compiler.rs:16-76)."""
+    """Dedupes compiled graphs into kinds; packs constants (compiler.rs:16-76).
+
+    TPU layout: instead of the reference's one byte-buffer + per-material
+    byte offsets (read with per-lane gathers), constants live in per-kind
+    dense matrices [num_materials, kind_width]. At shading time one
+    one-hot(material_id) matmul fetches ALL of a lane's constants at once —
+    an MXU op instead of dozens of gathers.
+    """
 
     kinds: dict[tuple, int] = field(default_factory=dict)
     kind_list: list[CompiledKind] = field(default_factory=list)
-    data: list[float] = field(default_factory=list)
+    material_consts: list[tuple[int, list[float]]] = field(default_factory=list)
 
     def compile(self, graph: dict, images: dict | None = None) -> ShaderRef:
         c = _Compiler(graph, images or {})
@@ -74,15 +81,25 @@ class CompilerDriver:
             self.kinds[key] = len(self.kind_list)
             self.kind_list.append(CompiledKind(nodes=bytecode, output=len(bytecode) - 1))
         kind = self.kinds[key]
-        # align to 4 floats like the reference's 16-byte alignment
-        while len(self.data) % 4 != 0:
-            self.data.append(0.0)
-        offset = len(self.data)
-        self.data.extend(consts)
-        return ShaderRef(kind=kind, data_offset=offset)
+        mat_index = len(self.material_consts)
+        self.material_consts.append((kind, consts))
+        return ShaderRef(kind=kind, data_offset=mat_index)
 
-    def data_array(self) -> np.ndarray:
-        return np.asarray(self.data if self.data else [0.0], np.float32)
+    def param_matrices(self) -> list[np.ndarray]:
+        """Per-kind [num_materials, kind_width] constant matrices (rows of
+        other kinds are zero; they're masked out at dispatch)."""
+        n_mats = len(self.material_consts)
+        out = []
+        for k, kind in enumerate(self.kind_list):
+            width = max(
+                (len(c) for kk, c in self.material_consts if kk == k), default=1
+            )
+            m = np.zeros((max(n_mats, 1), max(width, 1)), np.float32)
+            for mi, (kk, consts) in enumerate(self.material_consts):
+                if kk == k:
+                    m[mi, : len(consts)] = consts
+            out.append(m)
+        return out
 
 
 class _Compiler:

@@ -45,10 +45,14 @@ from .surface import (
 
 
 class EvalContext(NamedTuple):
-    """Per-batch inputs to shader evaluation."""
+    """Per-batch inputs to shader evaluation.
 
-    data: jnp.ndarray  # [D] global constant table (f32)
-    data_offset: jnp.ndarray  # [N] per-lane material data offsets
+    `params` is the per-lane constant block [N, kind_width], prefetched in
+    one one-hot matmul per kind (see Scene.dispatch_closures) — columns are
+    then free slices instead of per-lane gathers.
+    """
+
+    params: jnp.ndarray  # [N, kind_width] per-lane constants
     uv: jnp.ndarray  # [N, 2]
     p: jnp.ndarray  # [N, 3] world hit position
     ng: jnp.ndarray  # [N, 3] world geometric normal
@@ -58,11 +62,10 @@ class EvalContext(NamedTuple):
 
 
 def _gather(ctx: EvalContext, const_off: int, count: int = 1):
-    """Read `count` floats at per-lane data_offset + const_off."""
-    idx = ctx.data_offset + const_off
+    """Read `count` constant floats for every lane (column slice, no gather)."""
     if count == 1:
-        return ctx.data[idx]
-    return jnp.stack([ctx.data[idx + i] for i in range(count)], axis=-1)
+        return ctx.params[..., const_off]
+    return ctx.params[..., const_off : const_off + count]
 
 
 class _Evaluator:
