@@ -1,0 +1,175 @@
+"""Low-discrepancy sampler: padded Owen-scrambled Sobol (0,2) pairs.
+
+Role-equivalent of the reference's Pmj02BnSampler (sampler/mod.rs:329-701):
+per-pixel stratified (0,2) sequences with per-dimension decorrelation. The
+reference's pmj02bn/bluenoise table blobs are git-LFS-missing from the repo
+(/root/reference/.MISSING_LARGE_BLOBS), so instead of regenerating tables we
+use the tableless construction with the same (0,2)-net property: dimension
+pairs are Owen-scrambled Sobol points, padded with a per-(pixel, pair) hash
+(Burley, "Practical Hash-based Owen Scrambling", JCGT 2020).
+
+All ops are uint32 bit math — pure VPU work, no tables, no gathers.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+_U32 = jnp.uint32
+
+
+def _hash(x):
+    """finalizer (lowbias32)."""
+    x = jnp.asarray(x, _U32)
+    x ^= x >> 16
+    x *= _U32(0x7FEB352D)
+    x ^= x >> 15
+    x *= _U32(0x846CA68B)
+    x ^= x >> 16
+    return x
+
+
+def _hash_combine(a, b):
+    return _hash(jnp.asarray(a, _U32) ^ (_hash(b) + _U32(0x9E3779B9)))
+
+
+def reverse_bits32(x):
+    x = jnp.asarray(x, _U32)
+    x = ((x << 16) | (x >> 16)) & _U32(0xFFFFFFFF)
+    x = ((x & _U32(0x00FF00FF)) << 8) | ((x >> 8) & _U32(0x00FF00FF))
+    x = ((x & _U32(0x0F0F0F0F)) << 4) | ((x >> 4) & _U32(0x0F0F0F0F))
+    x = ((x & _U32(0x33333333)) << 2) | ((x >> 2) & _U32(0x33333333))
+    x = ((x & _U32(0x55555555)) << 1) | ((x >> 1) & _U32(0x55555555))
+    return x
+
+
+def _laine_karras_permutation(x, seed):
+    """Fast-Owen bit permutation (Laine-Karras), operates on reversed bits."""
+    x = jnp.asarray(x, _U32)
+    x += seed
+    x ^= x * _U32(0x6C50B47C)
+    x ^= x * _U32(0xB82F1E52)
+    x ^= x * _U32(0xC7AFE638)
+    x ^= x * _U32(0x8D22F6E6)
+    return x
+
+
+def owen_scramble(x, seed):
+    """Owen-scramble a [0,2^32) sample value."""
+    x = reverse_bits32(x)
+    x = _laine_karras_permutation(x, seed)
+    return reverse_bits32(x)
+
+
+def sobol_dim1(index):
+    """First Sobol dimension: radical inverse base 2."""
+    return reverse_bits32(index)
+
+
+_SOBOL2 = None
+
+
+def sobol_dim2(index):
+    """Second Sobol dimension via the standard recurrence matrix."""
+    global _SOBOL2
+    if _SOBOL2 is None:
+        # canonical 32 direction numbers of Sobol dim 2
+        v = np.zeros(32, np.uint32)
+        v[0] = 1 << 31
+        for i in range(1, 32):
+            v[i] = v[i - 1] ^ (v[i - 1] >> 1)
+        _SOBOL2 = v
+    index = jnp.asarray(index, _U32)
+    result = jnp.zeros_like(index)
+    for k in range(32):
+        bit = (index >> k) & _U32(1)
+        result = result ^ jnp.where(bit == 1, _U32(int(_SOBOL2[k])), _U32(0))
+    return result
+
+
+def sobol02_owen(sample_index, pair_seed):
+    """Owen-scrambled (0,2) Sobol pair for given sample indices.
+
+    sample_index: [N] uint32; pair_seed: [N] uint32 per-(pixel,dim-pair) key.
+    Returns (u0, u1) floats in [0,1).
+    """
+    # shuffle the index itself (decorrelates pixel sequences' error patterns)
+    x = sobol_dim1(sample_index)
+    y = sobol_dim2(sample_index)
+    x = owen_scramble(x, _hash_combine(pair_seed, 0x1234_5678))
+    y = owen_scramble(y, _hash_combine(pair_seed, 0x8765_4321))
+    to_f = lambda b: (b >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    return to_f(x), to_f(y)
+
+
+class SobolSampler(NamedTuple):
+    """Padded Owen-Sobol sampler with the common next_1d/2d/3d API.
+
+    One lane per pixel; the sample index is the spp counter so each pixel's
+    sequence is progressively stratified across passes (the property that
+    makes pmj02-class samplers converge faster than independent sampling).
+    """
+
+    pixel_hash: jnp.ndarray  # [N] hash of (pixel, seed)
+    sample_index: jnp.ndarray  # [N] uint32
+    dim: jnp.ndarray  # [N] int32 dimension counter
+    cache: jnp.ndarray  # [N] stashed second component of the current pair
+    has_cache: jnp.ndarray  # [N] bool
+
+    @staticmethod
+    def new(pixel_ids, sample_index, seed: int = 0) -> "SobolSampler":
+        pixel_ids = jnp.asarray(pixel_ids, _U32)
+        n = pixel_ids.shape
+        if jnp.ndim(sample_index) == 0:
+            sample_index = jnp.broadcast_to(jnp.asarray(sample_index, _U32), n)
+        return SobolSampler(
+            pixel_hash=_hash_combine(pixel_ids, _U32(seed)),
+            sample_index=jnp.asarray(sample_index, _U32),
+            dim=jnp.zeros(n, jnp.int32),
+            cache=jnp.zeros(n, jnp.float32),
+            has_cache=jnp.zeros(n, bool),
+        )
+
+    def next_1d(self):
+        pair = (self.dim // 2).astype(_U32)
+        pair_seed = _hash_combine(self.pixel_hash, pair)
+        u0, u1 = sobol02_owen(self.sample_index, pair_seed)
+        u = jnp.where(self.has_cache, self.cache, u0)
+        new_cache = jnp.where(self.has_cache, self.cache, u1)
+        return (
+            self._replace(
+                dim=self.dim + 1, cache=new_cache, has_cache=~self.has_cache
+            ),
+            u,
+        )
+
+    def next_2d(self):
+        s, a = self.next_1d()
+        s, b = s.next_1d()
+        return s, jnp.stack([a, b], -1)
+
+    def next_3d(self):
+        s, a = self.next_1d()
+        s, b = s.next_1d()
+        s, c = s.next_1d()
+        return s, jnp.stack([a, b, c], -1)
+
+
+def make_sampler(config: dict, pixel_ids, sample_index, seed_extra: int = 0):
+    """Sampler factory from the reference's sampler JSON
+    ({"type": "independent"|"pmj02bn", "seed": n} — SamplerConfig,
+    sampler/mod.rs:282-295)."""
+    t = (config or {}).get("type", "independent")
+    seed = int((config or {}).get("seed", 0)) ^ seed_extra
+    if t in ("pmj02bn", "sobol", "lds"):
+        return SobolSampler.new(pixel_ids, sample_index, seed=seed)
+    from .pcg import Pcg32, U64
+    from .samplers import IndependentSampler
+
+    sample_index = jnp.asarray(sample_index, _U32)
+    if jnp.ndim(sample_index) == 0:
+        sample_index = jnp.broadcast_to(sample_index, jnp.shape(pixel_ids))
+    seq = U64(sample_index ^ _U32(seed), jnp.asarray(pixel_ids, _U32))
+    return IndependentSampler(Pcg32.new_seq(seq))

@@ -20,7 +20,6 @@ from ..core.filters import filter_from_config
 from ..core.math import Frame
 from ..core.pcg import Pcg32, U64
 from ..core.samplers import IndependentSampler
-from ..accel.trace import intersect_brute_force
 from ..scene import Scene
 
 
@@ -41,9 +40,7 @@ def _aov_pass_fn(scene: Scene, width, height, remap: bool):
         )
         ray_o, ray_d = generate_rays(sc.camera, p_film)
         n = npix
-        hit = intersect_brute_force(
-            ray_o, ray_d, jnp.zeros(n), jnp.full(n, 1e20), a.v0, a.e1, a.e2
-        )
+        hit = sc.intersect(ray_o, ray_d, jnp.zeros(n), jnp.full(n, 1e20))
         si = sc.surface_interaction(jnp.maximum(hit.tri_id, 0), hit.bary)
         wo = -ray_d
         t, b, nrm = si["frame"]

@@ -21,7 +21,6 @@ import jax.numpy as jnp
 
 from ..core.math import RAY_TMAX, dot, face_forward, offset_ray_origin
 from ..core.sampling import mis_weight
-from ..accel.trace import intersect_brute_force, occlude_brute_force
 from ..lights import finish_light_sample, pdf_direct, sample_light_point
 from ..scene import Scene
 
@@ -117,9 +116,9 @@ def trace_paths(
     def bounce_body(depth, st):
         """One full bounce: intersect, Le, NEE, BSDF sample, RR, next ray."""
         depth = jnp.asarray(depth, jnp.int32)
-        hit = intersect_brute_force(
+        hit = scene.intersect(
             st["ray_o"], st["ray_d"], jnp.zeros((n,)), jnp.full((n,), RAY_TMAX),
-            a.v0, a.e1, a.e2, exclude0=st["exclude"],
+            exclude0=st["exclude"],
         )
         lane_hit = st["active"] & hit.valid
         st["active"] = lane_hit
@@ -177,9 +176,8 @@ def trace_paths(
 
         # --- shadow ray + add direct (pt.rs:504-513) ---
         if ls is not None:
-            occluded = occlude_brute_force(
+            occluded = scene.occlude(
                 ls.shadow_ro, ls.wi, jnp.zeros((n,)), ls.shadow_dist,
-                a.v0, a.e1, a.e2,
                 exclude0=si["tri_id"].astype(jnp.int32), exclude1=ls.dest_tri,
             )
             direct_ok = light_valid & ~occluded
@@ -217,9 +215,9 @@ def trace_paths(
     def final_emission(st):
         """Last iteration: intersect + surface-light only (pt.rs depth==max_depth)."""
         depth = jnp.asarray(settings.max_depth, jnp.int32)
-        hit = intersect_brute_force(
+        hit = scene.intersect(
             st["ray_o"], st["ray_d"], jnp.zeros((n,)), jnp.full((n,), RAY_TMAX),
-            a.v0, a.e1, a.e2, exclude0=st["exclude"],
+            exclude0=st["exclude"],
         )
         lane_hit = st["active"] & hit.valid
         si = scene.surface_interaction(jnp.maximum(hit.tri_id, 0), hit.bary)

@@ -24,7 +24,7 @@ from ..scene import Scene
 from .common import PTSettings, trace_paths
 
 
-def _render_pass_fn(scene: Scene, settings: PTSettings, filt, width, height, spp_chunk, seed=0):
+def _render_pass_fn(scene: Scene, settings: PTSettings, filt, width, height, spp_chunk, seed=0, sampler_config=None):
     """Build the jitted one-pass function (traced once, reused every pass).
 
     Renders `spp_chunk` samples per pixel per call with the sample loop
@@ -33,15 +33,13 @@ def _render_pass_fn(scene: Scene, settings: PTSettings, filt, width, height, spp
     """
 
     npix = width * height
-    from ..core.pcg import Pcg32, U64
+    from ..core.lds import make_sampler
 
     def one_sample(sample_idx, carry):
         film, arrays = carry
         sc = replace(scene, arrays=arrays)
         pix = jnp.arange(npix, dtype=jnp.uint32)
-        # unique stream per (pixel, global sample index)
-        seq = U64(sample_idx.astype(jnp.uint32) ^ jnp.uint32(seed), pix)
-        sampler = IndependentSampler(Pcg32.new_seq(seq))
+        sampler = make_sampler(sampler_config, pix, sample_idx.astype(jnp.uint32), seed)
         sampler, u_film = sampler.next_2d()
         off, fw = filt.sample(u_film)
         p_film = (
@@ -83,7 +81,9 @@ def render_pt(scene: Scene, config: PTConfig, task=None, progress_cb=None):
     spp_chunk = min(config.spp, config.spp_per_pass)
     n_passes = (config.spp + spp_chunk - 1) // spp_chunk
     one_pass = _render_pass_fn(
-        scene, settings, filt, width, height, spp_chunk, seed=task.seed if task else 0
+        scene, settings, filt, width, height, spp_chunk,
+        seed=task.seed if task else 0,
+        sampler_config=task.sampler if task else None,
     )
 
     film = Film.new(width, height)

@@ -43,6 +43,9 @@ class SceneArrays(NamedTuple):
     # packed per-triangle attribute matrix for one-hot fetch (small scenes):
     # [T, 34] = v0 e1 e2 ng area ns(9) uv(6) kind mat light_id prim_pdf
     attr: jnp.ndarray
+    # acceleration structure: None for small scenes (brute force wins),
+    # else dict(bvh=BvhArrays, v0/e1/e2=triangles in BVH order)
+    bvh: dict | None
     # lights
     lights: LightArrays
 
@@ -61,6 +64,39 @@ class Scene:
     # max triangle count for the one-hot-matmul attribute fetch; beyond this
     # the [N, T] one-hot outweighs gathers (BVH scenes use the gather path)
     ONE_HOT_MAX_TRIS = 2048
+    # below this, dense [T, N] brute force beats BVH traversal on TPU
+    BVH_MIN_TRIS = 4096
+
+    def intersect(self, o, d, tmin, tmax, exclude0=None, exclude1=None):
+        """Closest-hit through whichever accel the scene carries
+        (the rtx::Accel::intersect analog, scene.rs:111-153)."""
+        a = self.arrays
+        if a.bvh is None:
+            from .accel.trace import intersect_brute_force
+
+            return intersect_brute_force(
+                o, d, tmin, tmax, a.v0, a.e1, a.e2, exclude0, exclude1
+            )
+        from .accel.cluster import intersect_clusters
+
+        return intersect_clusters(
+            a.bvh["clusters"], o, d, tmin, tmax, exclude0, exclude1, any_hit=False
+        )
+
+    def occlude(self, o, d, tmin, tmax, exclude0=None, exclude1=None):
+        """Any-hit (the rtx occlude analog, scene.rs:154-185)."""
+        a = self.arrays
+        if a.bvh is None:
+            from .accel.trace import occlude_brute_force
+
+            return occlude_brute_force(
+                o, d, tmin, tmax, a.v0, a.e1, a.e2, exclude0, exclude1
+            )
+        from .accel.cluster import intersect_clusters
+
+        return intersect_clusters(
+            a.bvh["clusters"], o, d, tmin, tmax, exclude0, exclude1, any_hit=True
+        )
 
     # ---- shading helpers used by all integrators ----
     def surface_interaction(self, tri_id, bary):
@@ -231,6 +267,19 @@ def load_scene(path: str, width: int | None = None, height: int | None = None) -
 
     atlas = TextureAtlas.build(images) if images else None
 
+    # acceleration structure for non-toy scenes
+    import os
+
+    bvh_field = None
+    if num_tris >= Scene.BVH_MIN_TRIS or os.environ.get("AKR_FORCE_BVH"):
+        from .accel.bvh import build_bvh
+        from .accel.cluster import build_clusters
+
+        bvh = build_bvh(soup.v0, soup.e1, soup.e2)
+        bvh_field = {
+            "clusters": build_clusters(soup.v0, soup.e1, soup.e2, np.asarray(bvh.order)),
+        }
+
     placeholder_lights = LightArrays.build([], [], num_tris)
     arrays = SceneArrays(
         v0=jnp.asarray(soup.v0),
@@ -245,6 +294,7 @@ def load_scene(path: str, width: int | None = None, height: int | None = None) -
         tri_mat=jnp.asarray(soup.mat_id.astype(np.int32)),
         param_mats=tuple(jnp.asarray(m) for m in driver.param_matrices()),
         attr=_build_attr(soup, tri_kind, placeholder_lights),
+        bvh=bvh_field,
         lights=placeholder_lights,  # rebuilt below once emission is known
     )
     scene = Scene(

@@ -1,0 +1,118 @@
+"""Acceleration-structure tests: BVH build + cluster intersection vs brute
+force ground truth (SURVEY.md §7.2 step 3: "validate against brute-force")."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from akari_render_tpu.accel.bvh import _build_bvh_py, build_bvh, traverse
+from akari_render_tpu.accel.cluster import build_clusters, intersect_clusters
+from akari_render_tpu.accel.trace import intersect_brute_force, occlude_brute_force
+
+
+@pytest.fixture(scope="module")
+def soup():
+    rng = np.random.default_rng(7)
+    T = 5000
+    c = rng.uniform(-5, 5, (T, 3)).astype(np.float32)
+    return (
+        c,
+        rng.normal(0, 0.2, (T, 3)).astype(np.float32),
+        rng.normal(0, 0.2, (T, 3)).astype(np.float32),
+    )
+
+
+@pytest.fixture(scope="module")
+def rays():
+    rng = np.random.default_rng(3)
+    N = 2048
+    o = jnp.asarray(rng.uniform(-8, 8, (N, 3)).astype(np.float32))
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return o, jnp.asarray(d), jnp.zeros(N), jnp.full(N, 1e20)
+
+
+def _ground_truth(soup, rays):
+    v0, e1, e2 = (jnp.asarray(a) for a in soup)
+    o, d, tmin, tmax = rays
+    return intersect_brute_force(o, d, tmin, tmax, v0, e1, e2)
+
+
+class TestBvh:
+    def test_native_matches_python_builder(self, soup):
+        v0, e1, e2 = soup
+        from akari_render_tpu.native import get_lib
+
+        if get_lib() is None:
+            pytest.skip("native builder unavailable")
+        nat = build_bvh(v0, e1, e2)
+        py = _build_bvh_py(v0, e1, e2)
+        # different trees are fine; both must be complete permutations
+        assert sorted(np.asarray(nat.order).tolist()) == list(range(len(v0)))
+        assert sorted(np.asarray(py.order).tolist()) == list(range(len(v0)))
+
+    def test_traverse_matches_brute(self, soup, rays):
+        v0, e1, e2 = soup
+        bvh = build_bvh(v0, e1, e2)
+        jv = [jnp.asarray(a)[bvh.order] for a in soup]
+        o, d, tmin, tmax = rays
+        ht = traverse(bvh, *jv, o, d, tmin, tmax)
+        hb = _ground_truth(soup, rays)
+        np.testing.assert_array_equal(np.asarray(ht.valid), np.asarray(hb.valid))
+        np.testing.assert_allclose(np.asarray(ht.t), np.asarray(hb.t), rtol=1e-4)
+
+
+class TestClusters:
+    def test_intersect_matches_brute(self, soup, rays):
+        v0, e1, e2 = soup
+        bvh = build_bvh(v0, e1, e2)
+        cl = build_clusters(v0, e1, e2, np.asarray(bvh.order))
+        o, d, tmin, tmax = rays
+        hc = intersect_clusters(cl, o, d, tmin, tmax)
+        hb = _ground_truth(soup, rays)
+        np.testing.assert_array_equal(np.asarray(hc.valid), np.asarray(hb.valid))
+        np.testing.assert_allclose(np.asarray(hc.t), np.asarray(hb.t), rtol=1e-4)
+        same = np.asarray(hc.tri_id) == np.asarray(hb.tri_id)
+        assert same.mean() > 0.999  # coplanar-tie tri ids may differ
+
+    def test_occlusion_matches_brute(self, soup, rays):
+        v0, e1, e2 = soup
+        bvh = build_bvh(v0, e1, e2)
+        cl = build_clusters(v0, e1, e2, np.asarray(bvh.order))
+        o, d, tmin, _ = rays
+        tmax = jnp.full(o.shape[0], 4.0)
+        occ_c = intersect_clusters(cl, o, d, tmin, tmax, any_hit=True)
+        jv0, je1, je2 = (jnp.asarray(a) for a in soup)
+        occ_b = occlude_brute_force(o, d, tmin, tmax, jv0, je1, je2)
+        np.testing.assert_array_equal(np.asarray(occ_c), np.asarray(occ_b))
+
+    def test_exclusion_ids(self, soup, rays):
+        v0, e1, e2 = soup
+        bvh = build_bvh(v0, e1, e2)
+        cl = build_clusters(v0, e1, e2, np.asarray(bvh.order))
+        o, d, tmin, tmax = rays
+        h1 = intersect_clusters(cl, o, d, tmin, tmax)
+        # excluding each ray's hit triangle must never return it again
+        ex = h1.tri_id
+        h2 = intersect_clusters(cl, o, d, tmin, tmax, exclude0=ex)
+        both_valid = np.asarray(h1.valid) & np.asarray(h2.valid)
+        assert (np.asarray(h1.tri_id)[both_valid] != np.asarray(h2.tri_id)[both_valid]).all()
+
+
+class TestSceneWithAccel:
+    def test_cbox_renders_identically_with_clusters(self, cbox_path):
+        import os
+
+        from akari_render_tpu.config import PTConfig
+        from akari_render_tpu.integrators.pt import render_pt
+        from akari_render_tpu.scene import load_scene
+
+        s1 = load_scene(cbox_path, width=16, height=16)
+        img1, _ = render_pt(s1, PTConfig(spp=4, max_depth=3, spp_per_pass=4))
+        os.environ["AKR_FORCE_BVH"] = "1"
+        try:
+            s2 = load_scene(cbox_path, width=16, height=16)
+            assert s2.arrays.bvh is not None
+            img2, _ = render_pt(s2, PTConfig(spp=4, max_depth=3, spp_per_pass=4))
+        finally:
+            del os.environ["AKR_FORCE_BVH"]
+        np.testing.assert_allclose(img1, img2, atol=1e-4)
