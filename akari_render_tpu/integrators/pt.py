@@ -64,8 +64,13 @@ def _render_pass_fn(scene: Scene, settings: PTSettings, filt, width, height, spp
     return jax.jit(one_pass, donate_argnums=(1,))
 
 
-def render_pt(scene: Scene, config: PTConfig, task=None, progress_cb=None):
-    """Render, returning (image [H, W, 3] numpy, stats dict)."""
+def render_pt(scene: Scene, config: PTConfig, task=None, progress_cb=None,
+              checkpoint_path=None, checkpoint_every: int = 0):
+    """Render, returning (image [H, W, 3] numpy, stats dict).
+
+    checkpoint_path: if set, resume from it when compatible and save the
+    film + pass counter there every `checkpoint_every` passes (new vs the
+    reference, which cannot resume renders — SURVEY.md §5)."""
     width, height = scene.camera.width, scene.camera.height
     filt = filter_from_config(task.filter_config if task else None)
     settings = PTSettings(
@@ -87,15 +92,31 @@ def render_pt(scene: Scene, config: PTConfig, task=None, progress_cb=None):
     )
 
     film = Film.new(width, height)
+    start_pass = 0
+    if checkpoint_path:
+        from ..checkpoint import load_checkpoint
+
+        ck = load_checkpoint(checkpoint_path)
+        if ck is not None and ck[1].get("kind") == "pt" and ck[1].get("spp_chunk") == spp_chunk:
+            film, meta, _ = ck
+            start_pass = int(meta["passes_done"])
     stats = {"time": [], "spp": []}
     t0 = time.time()
-    for p in range(n_passes):
+    for p in range(start_pass, n_passes):
         film = one_pass(scene.arrays, film, jnp.uint32(p))
         if progress_cb and (p % 16 == 0 or p == n_passes - 1):
             jax.block_until_ready(film)
             stats["time"].append(time.time() - t0)
             stats["spp"].append((p + 1) * spp_chunk)
             progress_cb(p + 1, n_passes, stats)
+        if checkpoint_path and checkpoint_every and (p + 1) % checkpoint_every == 0:
+            from ..checkpoint import save_checkpoint
+
+            jax.block_until_ready(film)
+            save_checkpoint(
+                checkpoint_path, film,
+                {"kind": "pt", "passes_done": p + 1, "spp_chunk": spp_chunk},
+            )
     jax.block_until_ready(film)
     stats["total_time"] = time.time() - t0
     stats["spp_total"] = n_passes * spp_chunk

@@ -1,0 +1,151 @@
+"""Scene write/load round-trip, import API, checkpointing, stats."""
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+
+class TestSceneWrite:
+    def test_matbox_roundtrip(self, tmp_path):
+        import make_test_scene
+
+        path = make_test_scene.build(tmp_path / "matbox")
+        assert path.exists()
+        doc = json.loads(path.read_text())
+        assert set(doc["buffers"]) == {"Scene"}  # compacted
+        from akari_render_tpu.scene import load_scene
+
+        s = load_scene(path, width=16, height=16)
+        assert s.num_tris > 4000
+        assert len(s.kinds) == 4  # principled / diffuse+checker / glass / textured
+        assert s.arrays.lights.num_lights == 1
+        assert s.atlas is not None
+
+    def test_matbox_renders(self, tmp_path):
+        import make_test_scene
+
+        path = make_test_scene.build(tmp_path / "matbox")
+        from akari_render_tpu.config import PTConfig
+        from akari_render_tpu.integrators.pt import render_pt
+        from akari_render_tpu.scene import load_scene
+
+        s = load_scene(path, width=24, height=24)
+        img, _ = render_pt(s, PTConfig(spp=4, max_depth=4, spp_per_pass=4))
+        assert np.isfinite(img).all()
+        assert img.mean() > 0.05  # lit scene
+
+    def test_api_commands(self, tmp_path):
+        from akari_render_tpu.api import SceneImportApi
+
+        api = SceneImportApi()
+        api.execute({"type": "init"})
+        api.execute(
+            {
+                "type": "import_mesh",
+                "data": {
+                    "name": "tri",
+                    "vertices": [[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+                    "indices": [[0, 1, 2]],
+                },
+            }
+        )
+        api.execute(
+            {
+                "type": "import_material",
+                "data": {
+                    "name": "m",
+                    "shader_graph": {
+                        "nodes": {
+                            "c": {"type": "rgb", "value": [1, 0, 0], "colorspace": "srgb"},
+                            "u": {"type": "spectral_uplift", "rgb": {"id": "c"}},
+                            "b": {"type": "diffuse", "color": {"id": "u"}},
+                            "o": {"type": "output", "node": {"id": "b"}},
+                        },
+                        "output": {"id": "o"},
+                        "kind": "surface",
+                    },
+                },
+            }
+        )
+        api.execute(
+            {
+                "type": "import_instance",
+                "data": {
+                    "name": "i",
+                    "geometry": "tri",
+                    "matrix": np.eye(4).tolist(),
+                    "materials": ["m"],
+                },
+            }
+        )
+        api.execute(
+            {
+                "type": "import_camera",
+                "data": {"transform_matrix": np.eye(4).tolist(), "fov_deg": 45, "width": 8, "height": 8},
+            }
+        )
+        out = api.execute({"type": "write_scene", "data": {"out_dir": str(tmp_path / "s")}})
+        from akari_render_tpu.scene import load_scene
+
+        s = load_scene(out["path"])
+        assert s.num_tris == 1
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+
+        from akari_render_tpu.checkpoint import load_checkpoint, save_checkpoint
+        from akari_render_tpu.core.film import Film
+
+        film = Film(
+            accum=jnp.ones((16, 3)), splat=jnp.zeros((16, 3)), weight=jnp.full((16,), 2.0)
+        )
+        p = tmp_path / "ck.npz"
+        save_checkpoint(p, film, {"kind": "pt", "passes_done": 7}, {"rng": np.arange(4)})
+        film2, meta, extra = load_checkpoint(p)
+        assert meta["passes_done"] == 7
+        np.testing.assert_array_equal(np.asarray(film2.weight), np.asarray(film.weight))
+        np.testing.assert_array_equal(extra["rng"], np.arange(4))
+
+    def test_missing_returns_none(self, tmp_path):
+        from akari_render_tpu.checkpoint import load_checkpoint
+
+        assert load_checkpoint(tmp_path / "nope.npz") is None
+
+    def test_pt_resume_continues(self, cbox_path, tmp_path):
+        from akari_render_tpu.config import PTConfig
+        from akari_render_tpu.integrators.pt import render_pt
+        from akari_render_tpu.scene import load_scene
+
+        s = load_scene(cbox_path, width=8, height=8)
+        ck = tmp_path / "r.npz"
+        cfg = PTConfig(spp=8, max_depth=3, spp_per_pass=2)
+        img_full, _ = render_pt(s, cfg)
+        # run once with checkpoints, then resume (checkpoint at pass 2 of 4)
+        render_pt(s, cfg, checkpoint_path=ck, checkpoint_every=2)
+        assert ck.exists()
+        img_resumed, _ = render_pt(s, cfg, checkpoint_path=ck, checkpoint_every=0)
+        np.testing.assert_allclose(img_resumed, img_full, atol=1e-5)
+
+
+class TestStats:
+    def test_stats_format(self, tmp_path):
+        from akari_render_tpu.stats import DispatchProfiler, RenderSession, RenderStats
+
+        st = RenderStats()
+        st.record(1.5, 16, "a.exr")
+        st.record(3.0, 32, "b.exr")
+        p = st.write(RenderSession(name="t", out_dir=str(tmp_path)))
+        doc = json.loads(p.read_text())
+        assert doc["intermediate"][1] == {"time": 3.0, "spp": 32, "path": "b.exr"}
+
+        prof = DispatchProfiler()
+        with prof.profile("stage"):
+            pass
+        rep = prof.report()
+        assert rep["stage"]["count"] == 1
