@@ -35,12 +35,23 @@ class PTSettings:
     clamp_indirect: float = 1000.0
 
 
-def _select_by_kind(scene: Scene, si, fn):
+def _select_by_kind(scene: Scene, si, fn, force_diffuse: bool = False):
     """Evaluate fn(closure) for each shader kind, blend by kind mask.
 
     The lax.switch-free analog of dispatch_surface (eval.rs:444-466):
     with K kinds all lanes evaluate all K closures and mask-select. K is
-    small after bytecode dedup; revisit with sort-by-kind if K grows."""
+    small after bytecode dedup; revisit with sort-by-kind if K grows.
+
+    force_diffuse replaces every material with Lambert 0.8 (the debugging
+    mode of pt.rs:268-280)."""
+    if force_diffuse:
+        from ..core.sampling import INV_PI
+        from ..svm.eval import SurfaceClosure
+        from ..svm.surface import DiffuseBsdf
+
+        refl = jnp.full(si["ng"].shape, 0.8 * INV_PI)
+        closure = SurfaceClosure(DiffuseBsdf(refl), si["frame"], si["ng"])
+        return fn(closure)
     out = None
     for mask, closure in scene.dispatch_closures(si):
         res = fn(closure)
@@ -116,7 +127,7 @@ def trace_paths(
     def bounce_body(depth, st):
         """One full bounce: intersect, Le, NEE, BSDF sample, RR, next ray."""
         depth = jnp.asarray(depth, jnp.int32)
-        hit = scene.intersect(
+        hit = scene.intersect_alpha(
             st["ray_o"], st["ray_d"], jnp.zeros((n,)), jnp.full((n,), RAY_TMAX),
             exclude0=st["exclude"],
         )
@@ -171,12 +182,12 @@ def trace_paths(
             out["albedo"] = closure.albedo(wo)
             return out
 
-        sh = _select_by_kind(scene, si, shade)
+        sh = _select_by_kind(scene, si, shade, force_diffuse=settings.force_diffuse)
         st["first_albedo"] = jnp.where(first_mask[..., None], sh["albedo"], st["first_albedo"])
 
         # --- shadow ray + add direct (pt.rs:504-513) ---
         if ls is not None:
-            occluded = scene.occlude(
+            occluded = scene.occlude_alpha(
                 ls.shadow_ro, ls.wi, jnp.zeros((n,)), ls.shadow_dist,
                 exclude0=si["tri_id"].astype(jnp.int32), exclude1=ls.dest_tri,
             )
@@ -215,7 +226,7 @@ def trace_paths(
     def final_emission(st):
         """Last iteration: intersect + surface-light only (pt.rs depth==max_depth)."""
         depth = jnp.asarray(settings.max_depth, jnp.int32)
-        hit = scene.intersect(
+        hit = scene.intersect_alpha(
             st["ray_o"], st["ray_d"], jnp.zeros((n,)), jnp.full((n,), RAY_TMAX),
             exclude0=st["exclude"],
         )

@@ -60,6 +60,7 @@ class Scene:
     atlas: TextureAtlas | None
     material_names: list[str]
     num_tris: int
+    has_alpha: bool = False
 
     # max triangle count for the one-hot-matmul attribute fetch; beyond this
     # the [N, T] one-hot outweighs gathers (BVH scenes use the gather path)
@@ -82,6 +83,61 @@ class Scene:
         return intersect_clusters(
             a.bvh["clusters"], o, d, tmin, tmax, exclude0, exclude1, any_hit=False
         )
+
+    # ---- stochastic alpha-tested traversal (scene.rs:42-110) ----
+    MAX_ALPHA_RESTARTS = 4
+
+
+    def intersect_alpha(self, o, d, tmin, tmax, exclude0=None, exclude1=None):
+        """Closest-hit with stochastic alpha testing: candidates whose alpha
+        rejects are skipped by restarting past them (SURVEY.md §7.3 item 5 —
+        traversal restart instead of in-traversal callbacks). The accept
+        decision hashes (tri, bary) exactly like the reference's
+        hash-as-rng commit (scene.rs:49-86), so it is deterministic.
+        """
+        if not self.has_alpha:
+            return self.intersect(o, d, tmin, tmax, exclude0, exclude1)
+        import jax
+
+        from .core.lds import _hash
+        from .svm.eval import dispatch_closure
+
+        hit = self.intersect(o, d, tmin, tmax, exclude0, exclude1)
+        for _ in range(self.MAX_ALPHA_RESTARTS):
+            si = self.surface_interaction(jnp.maximum(hit.tri_id, 0), hit.bary)
+            alpha = jnp.ones(o.shape[0])
+            for k, kind in enumerate(self.kinds):
+                ctx = self.eval_context(si, k)
+                a_k = dispatch_closure(kind, ctx, mode="alpha").alpha()
+                alpha = jnp.where(si["kind"] == k, a_k, alpha)
+            bb = jax.lax.bitcast_convert_type(hit.bary, jnp.uint32)
+            u = (
+                _hash(hit.tri_id.astype(jnp.uint32) ^ _hash(bb[..., 0]) ^ bb[..., 1])
+                >> 8
+            ).astype(jnp.float32) * (1.0 / (1 << 24))
+            reject = hit.valid & (u >= alpha)
+            # restart past rejected hits
+            new_tmin = jnp.where(reject, hit.t, tmin)
+            rehit = self.intersect(
+                o, d, new_tmin, tmax, exclude0=hit.tri_id, exclude1=exclude1
+            )
+            hit = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    reject.reshape(reject.shape + (1,) * (a.ndim - 1)), b, a
+                ),
+                hit,
+                rehit,
+            )
+        return hit
+
+    def occlude_alpha(self, o, d, tmin, tmax, exclude0=None, exclude1=None):
+        """Any-hit with stochastic alpha (scene.rs:154-185 runs the same
+        alpha-tested ray query for shadow rays). Opaque scenes use the fast
+        any-hit; alpha scenes walk committed hits via closest-hit restarts."""
+        if not self.has_alpha:
+            return self.occlude(o, d, tmin, tmax, exclude0, exclude1)
+        hit = self.intersect_alpha(o, d, tmin, tmax, exclude0, exclude1)
+        return hit.valid
 
     def occlude(self, o, d, tmin, tmax, exclude0=None, exclude1=None):
         """Any-hit (the rtx occlude analog, scene.rs:154-185)."""
@@ -212,6 +268,22 @@ def _onb(n):
     return orthonormal_basis(n)
 
 
+def _kind_may_have_alpha(kind, params: np.ndarray) -> bool:
+    """Static bytecode + constant scan: non-unit alpha possible? (compile-time
+    analog of the reference's always-on alpha eval — we skip the restart
+    loop entirely for provably-opaque scenes). `params` is the kind's
+    [materials, width] constant matrix."""
+    # Alpha comes exclusively from the base-color texture's alpha channel
+    # (principled.rs:15-26 ignores the `alpha` socket; diffuse.rs:85-92 uses
+    # eval_color_alpha the same way). So the only alpha source is an image
+    # node — decided at scene level by inspecting the atlas texels.
+    del params
+    for node in kind.nodes:
+        if node[0] == "image":
+            return "image"
+    return "no"
+
+
 # ---- loading ----------------------------------------------------------------
 def _estimate_emission_const(graph: dict) -> float | None:
     """Fast emission scan (load.rs:74-127): returns max emission*strength if
@@ -297,6 +369,15 @@ def load_scene(path: str, width: int | None = None, height: int | None = None) -
         bvh=bvh_field,
         lights=placeholder_lights,  # rebuilt below once emission is known
     )
+    # static alpha scan (decides whether traversal needs the restart loop)
+    verdicts = [
+        _kind_may_have_alpha(k, np.asarray(m))
+        for k, m in zip(kinds, driver.param_matrices())
+    ]
+    has_alpha = any(v == "yes" for v in verdicts)
+    if not has_alpha and any(v == "image" for v in verdicts) and atlas is not None:
+        has_alpha = float(np.asarray(atlas.data[..., 3]).min()) < 1.0
+
     scene = Scene(
         arrays=arrays,
         kinds=kinds,
@@ -304,6 +385,7 @@ def load_scene(path: str, width: int | None = None, height: int | None = None) -
         atlas=atlas,
         material_names=mat_names,
         num_tris=num_tris,
+        has_alpha=has_alpha,
     )
 
     # ---- emissive detection + per-triangle power (load.rs:312-414) ----
