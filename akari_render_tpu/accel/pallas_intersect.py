@@ -1,0 +1,139 @@
+"""Pallas TPU kernel: brute-force ray-triangle intersection.
+
+The XLA brute-force path (accel/trace.py) materializes [T, N] intermediates
+in HBM (~10 arrays per Möller-Trumbore pass); at 1M rays that is HBM-bound
+~8x off compute. This kernel tiles rays into VMEM blocks and loops the
+(small) triangle list entirely on-chip: per grid step everything lives in
+VMEM/registers, so the VPU runs at compute bound.
+
+Used for the small-scene regime (T <= ~512, e.g. cbox's 36 triangles) where
+brute force beats any acceleration structure; larger scenes use the cluster
+accel. Layouts are SoA with the RAY axis minor ([3, N] etc.) so vectors map
+onto full 128-wide lanes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.math import RAY_TMAX
+
+BLOCK = 2048  # rays per grid step (VMEM: ~13 f32 arrays x 8KB = comfy)
+
+
+def _kernel(tri_ref, o_ref, d_ref, lim_ref, ex_ref, out_ref, *, num_tris, any_hit):
+    o_x, o_y, o_z = o_ref[0, :], o_ref[1, :], o_ref[2, :]
+    d_x, d_y, d_z = d_ref[0, :], d_ref[1, :], d_ref[2, :]
+    tmin = lim_ref[0, :]
+    best_t = lim_ref[1, :]  # tmax as initial best
+    ex0 = ex_ref[0, :]
+    ex1 = ex_ref[1, :]
+    best_id = jnp.full_like(ex0, -1)
+    best_u = jnp.zeros_like(best_t)
+    best_v = jnp.zeros_like(best_t)
+
+    for j in range(num_tris):  # static unroll: tri scalars become constants
+        ax, ay, az = tri_ref[j, 0], tri_ref[j, 1], tri_ref[j, 2]
+        e1x, e1y, e1z = tri_ref[j, 3], tri_ref[j, 4], tri_ref[j, 5]
+        e2x, e2y, e2z = tri_ref[j, 6], tri_ref[j, 7], tri_ref[j, 8]
+        # pvec = d x e2
+        px = d_y * e2z - d_z * e2y
+        py = d_z * e2x - d_x * e2z
+        pz = d_x * e2y - d_y * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tx = o_x - ax
+        ty = o_y - ay
+        tz = o_z - az
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (qx * d_x + qy * d_y + qz * d_z) * inv_det
+        t = (qx * e2x + qy * e2y + qz * e2z) * inv_det
+        hit = (
+            (jnp.abs(det) > 1e-12)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > tmin)
+            & (t < best_t)
+            & (j != ex0)
+            & (j != ex1)
+        )
+        if any_hit:
+            best_id = jnp.where(hit, j, best_id)
+        else:
+            best_t = jnp.where(hit, t, best_t)
+            best_id = jnp.where(hit, j, best_id)
+            best_u = jnp.where(hit, u, best_u)
+            best_v = jnp.where(hit, v, best_v)
+
+    out_ref[0, :] = best_t
+    out_ref[1, :] = best_id.astype(jnp.float32)
+    out_ref[2, :] = best_u
+    out_ref[3, :] = best_v
+
+
+@functools.partial(jax.jit, static_argnames=("num_tris", "any_hit", "interpret"))
+def _run(tri, o_soa, d_soa, lim, ex, num_tris, any_hit, interpret=False):
+    n = o_soa.shape[1]
+    grid = (n // BLOCK,)
+    return pl.pallas_call(
+        functools.partial(_kernel, num_tris=num_tris, any_hit=any_hit),
+        out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tri.shape[0], 12), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(tri, o_soa, d_soa, lim, ex)
+
+
+def intersect_pallas(tri_packed, o, d, tmin, tmax, exclude0=None, exclude1=None,
+                     any_hit=False, interpret=False):
+    """tri_packed: [T, 12] (v0|e1|e2|pad) f32; o/d: [N, 3]. Returns Hit / occluded.
+
+    N is padded to BLOCK internally.
+    """
+    from .trace import Hit
+
+    n = o.shape[0]
+    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    pad = n_pad - n
+
+    def pad1(x, fill=0.0):
+        return jnp.pad(x, ((0, pad),), constant_values=fill)
+
+    o_soa = jnp.pad(o.T, ((0, 0), (0, pad)))
+    d_soa = jnp.pad(d.T, ((0, 0), (0, pad)), constant_values=1.0)
+    lim = jnp.stack([pad1(tmin), pad1(tmax, fill=-1.0)], axis=0)
+    ex0 = pad1(exclude0.astype(jnp.float32), -1.0) if exclude0 is not None else jnp.full((n_pad,), -1.0)
+    ex1 = pad1(exclude1.astype(jnp.float32), -1.0) if exclude1 is not None else jnp.full((n_pad,), -1.0)
+    ex = jnp.stack([ex0, ex1], axis=0)
+    out = _run(tri_packed, o_soa, d_soa, lim, ex, int(tri_packed.shape[0]), any_hit, interpret)
+    t = out[0, :n]
+    tri_id = out[1, :n].astype(jnp.int32)
+    if any_hit:
+        return tri_id >= 0
+    return Hit(
+        t=jnp.where(tri_id >= 0, t, RAY_TMAX),
+        tri_id=tri_id,
+        bary=jnp.stack([out[2, :n], out[3, :n]], -1),
+        valid=tri_id >= 0,
+    )
+
+
+def pack_tris(v0, e1, e2):
+    """[T,3]x3 -> [T,12] padded block for the kernel."""
+    T = v0.shape[0]
+    return jnp.concatenate([v0, e1, e2, jnp.zeros((T, 3), jnp.float32)], axis=1)

@@ -56,6 +56,17 @@ def add_samples(film: Film, p, color, weight, width: int, height: int, mask=None
     return film._replace(accum=accum, weight=w)
 
 
+def add_samples_aligned(film: Film, color, weight, mask=None) -> Film:
+    """Accumulate when lane i IS pixel i — the reference's actual PT binning
+    (pt.rs:1100 adds to the dispatch pixel; the filter jitter perturbs the
+    RAY only). Pure elementwise adds — no scatter at all."""
+    color = remove_nan(color) * weight[..., None]
+    if mask is not None:
+        color = jnp.where(mask[..., None], color, 0.0)
+        weight = jnp.where(mask, weight, 0.0)
+    return film._replace(accum=film.accum + color, weight=film.weight + weight)
+
+
 def add_splats(film: Film, p, color, weight, width: int, height: int, mask=None) -> Film:
     """Splat (no weight accumulation; scaled by splat_scale at readout)."""
     idx = linear_index(p, width, height)

@@ -59,6 +59,17 @@ def _select_by_kind(scene: Scene, si, fn, force_diffuse: bool = False):
     return out
 
 
+def _emission_at(scene: Scene, si, wo):
+    """closure.emission at an interaction — constant-folded to a one-hot
+    matmul over the per-material emission table when every material's
+    emission is graph-static (the common case; kills two full shader
+    dispatches per bounce)."""
+    ce = scene.arrays.const_emission
+    if ce is not None:
+        return jax.nn.one_hot(si["mat"], ce.shape[0], dtype=jnp.float32) @ ce
+    return _select_by_kind(scene, si, lambda c: c.emission(wo))
+
+
 def _tree_select(mask, a, b):
     def sel(x, y):
         m = mask
@@ -108,7 +119,7 @@ def trace_paths(
         """Surface-light hit + MIS weighting (pt.rs:230-258). depth: jnp scalar."""
         front = dot(si["ng"], st["ray_d"]) < 0.0
         ok = lane_hit & (si["light_id"] >= 0) & front
-        le = _select_by_kind(scene, si, lambda c: c.emission(wo))
+        le = _emission_at(scene, si, wo)
         if settings.use_nee:
             lpdf = pdf_direct(
                 a.lights, si["light_id"], si["prim_pdf"], si["area"], si["ng"], si["p"], st["ray_o"]
@@ -158,7 +169,7 @@ def trace_paths(
                 lsi["p"], lsi["ng"], lsi["area"], si["p"], si["ng"],
             )
             # emission toward the receiver: direction = -wi (area.rs:83-84)
-            l_emission = _select_by_kind(scene, lsi, lambda c: c.emission(-ls.wi))
+            l_emission = _emission_at(scene, lsi, -ls.wi)
             front_l = dot(ls.wi, lsi["ng"]) < 0.0
             ls = ls._replace(li=jnp.where(front_l[..., None], l_emission, 0.0))
             light_valid = ls.valid & st["active"]

@@ -51,7 +51,10 @@ def _render_pass_fn(scene: Scene, settings: PTSettings, filt, width, height, spp
         )
         ray_o, ray_d = generate_rays(sc.camera, p_film)
         radiance, aux, sampler = trace_paths(sc, settings, ray_o, ray_d, sampler)
-        film = add_samples(film, p_film, radiance, fw, width, height)
+        # lane i IS pixel i: no scatter (pt.rs:1100 binning semantics)
+        from ..core.film import add_samples_aligned
+
+        film = add_samples_aligned(film, radiance, fw)
         return film, arrays
 
     def one_pass(arrays, film: Film, pass_idx):

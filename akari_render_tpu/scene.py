@@ -46,6 +46,10 @@ class SceneArrays(NamedTuple):
     # acceleration structure: None for small scenes (brute force wins),
     # else dict(bvh=BvhArrays, v0/e1/e2=triangles in BVH order)
     bvh: dict | None
+    # per-material constant emission [M, 3], or None if any material's
+    # emission is texture-driven (then the closure path is used). Constant
+    # folding here removes two full shader-graph dispatches per bounce.
+    const_emission: jnp.ndarray | None
     # lights
     lights: LightArrays
 
@@ -73,6 +77,11 @@ class Scene:
         (the rtx::Accel::intersect analog, scene.rs:111-153)."""
         a = self.arrays
         if a.bvh is None:
+            if _on_tpu():
+                from .accel.pallas_intersect import intersect_pallas, pack_tris
+
+                tri = pack_tris(a.v0, a.e1, a.e2)
+                return intersect_pallas(tri, o, d, tmin, tmax, exclude0, exclude1)
             from .accel.trace import intersect_brute_force
 
             return intersect_brute_force(
@@ -143,6 +152,13 @@ class Scene:
         """Any-hit (the rtx occlude analog, scene.rs:154-185)."""
         a = self.arrays
         if a.bvh is None:
+            if _on_tpu():
+                from .accel.pallas_intersect import intersect_pallas, pack_tris
+
+                tri = pack_tris(a.v0, a.e1, a.e2)
+                return intersect_pallas(
+                    tri, o, d, tmin, tmax, exclude0, exclude1, any_hit=True
+                )
             from .accel.trace import occlude_brute_force
 
             return occlude_brute_force(
@@ -262,10 +278,59 @@ class Scene:
         return out
 
 
+def _on_tpu() -> bool:
+    """Static (trace-time) platform check: pallas kernels need real TPU."""
+    import jax
+
+    return jax.devices()[0].platform == "tpu"
+
+
 def _onb(n):
     from .core.math import orthonormal_basis
 
     return orthonormal_basis(n)
+
+
+def _const_emission_table(sg: SceneGraph, mat_names: list[str]):
+    """Per-material constant emission (linear RGB), or None if any material
+    has texture/graph-driven emission or a nonzero clearcoat (which scales
+    emission by 1 - E_coat). Mirrors the analytic fast path of
+    _estimate_emission_const but keeps full RGB."""
+    rows = []
+    for name in mat_names:
+        graph = sg.materials[name]["shader"]
+        nodes = graph["nodes"]
+        out = nodes[graph["output"]["id"]]
+        node = nodes[out["node"]["id"]]
+
+        def const_rgb(ref):
+            n = nodes[ref["id"]]
+            t = n["type"]
+            if t == "spectral_uplift":
+                return const_rgb(n["rgb"])
+            if t == "float":
+                v = float(n["value"])
+                return [v, v, v]
+            if t in ("float3", "rgb"):
+                return [float(x) for x in n["value"]]
+            return None
+
+        if node["type"] == "principled":
+            e = const_rgb(node["emission_color"])
+            st = const_rgb(node["emission_strength"])
+            cw = const_rgb(node["coat_weight"]) if "coat_weight" in node else [0, 0, 0]
+            if e is None or st is None or cw is None or max(cw) != 0.0:
+                return None
+            rows.append([e[i] * st[0] for i in range(3)])
+        elif node["type"] == "emission":
+            e = const_rgb(node["color"])
+            st = const_rgb(node["strength"])
+            if e is None or st is None:
+                return None
+            rows.append([e[i] * st[0] for i in range(3)])
+        else:
+            rows.append([0.0, 0.0, 0.0])
+    return jnp.asarray(np.asarray(rows, np.float32))
 
 
 def _kind_may_have_alpha(kind, params: np.ndarray) -> bool:
@@ -367,6 +432,7 @@ def load_scene(path: str, width: int | None = None, height: int | None = None) -
         param_mats=tuple(jnp.asarray(m) for m in driver.param_matrices()),
         attr=_build_attr(soup, tri_kind, placeholder_lights),
         bvh=bvh_field,
+        const_emission=_const_emission_table(sg, mat_names),
         lights=placeholder_lights,  # rebuilt below once emission is known
     )
     # static alpha scan (decides whether traversal needs the restart loop)
