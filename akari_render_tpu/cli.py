@@ -24,6 +24,7 @@ def main(argv=None):
     ap.add_argument("--spp", type=int, default=None, help="override spp")
     ap.add_argument("--res", type=int, default=None, help="override square resolution")
     ap.add_argument("--save-stats", action="store_true")
+    ap.add_argument("--save-intermediate", action="store_true")
     ap.add_argument("--checkpoint", default=None, help="checkpoint file for resume")
     ap.add_argument("--checkpoint-every", type=int, default=16, help="passes between checkpoints")
     ap.add_argument("-v", "--verbose", action="store_true")
@@ -52,11 +53,22 @@ def main(argv=None):
     if task.method_type == "pt":
         from .integrators.pt import render_pt
 
+        from .stats import RenderSession
+        from pathlib import Path as _P
+
+        out_p = _P(args.output or task.out_path)
+        session = RenderSession(
+            name=out_p.stem,
+            save_intermediate=args.save_intermediate,
+            save_stats=args.save_stats,
+            out_dir=str(out_p.parent),
+        )
         img, stats = render_pt(
             scene, task.method, task,
             progress_cb=progress if args.verbose else None,
             checkpoint_path=args.checkpoint,
             checkpoint_every=args.checkpoint_every,
+            session=session,
         )
     elif task.method_type in ("mcmc", "mcmc_opt"):
         from .integrators.mcmc import render_mcmc

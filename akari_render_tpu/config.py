@@ -54,6 +54,7 @@ class MCMCConfig:
     small_sigma: float = 0.01
     large_step_prob: float = 0.1
     image_mutation_size: float | None = None
+    image_mutation_prob: float = 0.0
     direct_spp: int = 64
 
     @staticmethod
@@ -71,6 +72,7 @@ class MCMCConfig:
             small_sigma=d.get("small_sigma", 0.01),
             large_step_prob=d.get("large_step_prob", 0.1),
             image_mutation_size=d.get("image_mutation_size"),
+            image_mutation_prob=d.get("image_mutation_prob", 0.0),
             direct_spp=d.get("direct_spp", 64),
         )
 
@@ -105,7 +107,7 @@ class GPTConfig:
             shift_mapping_min_dist=d.get("shift_mapping_min_dist", 0.03),
             shift_mapping_min_roughness=d.get("shift_mapping_min_roughness", 0.2),
             stride=d.get("stride", 1),
-            uniform_weights=d.get("uniform_weights", False),
+            uniform_weights=d.get("uniform_weights", True),
         )
 
 

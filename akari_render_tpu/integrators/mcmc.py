@@ -180,6 +180,20 @@ def render_mcmc(scene: Scene, config: MCMCConfig, task=None, progress_cb=None):
 
             small = pss + sample_gaussian(u_mat) * config.small_sigma
             small = small - jnp.floor(small)
+        # image-space mutation (mcmc_opt.rs:163-215): with prob
+        # image_mutation_prob a small step perturbs ONLY the pixel dims 0-1
+        # by a gaussian of image_mutation_size (fraction of the image),
+        # leaving the path dims untouched
+        if config.image_mutation_size is not None:
+            from ..core.sampling import sample_gaussian as _sg
+
+            rng, u_imgsel = pcg32_next_f32(rng)
+            prob = getattr(config, "image_mutation_prob", 0.0) or 0.5
+            is_img = (u_imgsel < prob) & ~is_large
+            img_step = _sg(u_mat[:, :2]) * config.image_mutation_size
+            img_dims = jnp.mod(pss[:, :2] + img_step, 1.0)
+            small_img = jnp.concatenate([img_dims, pss[:, 2:]], axis=1)
+            small = jnp.where(is_img[..., None], small_img, small)
         prop = jnp.where(is_large[..., None], fresh, small)
         prop_p, prop_color, prop_f, rng = _evaluate(scene, settings, filt, prop, rng)
         b = b + jnp.where(is_large, prop_f, 0.0).sum()

@@ -68,7 +68,7 @@ def _render_pass_fn(scene: Scene, settings: PTSettings, filt, width, height, spp
 
 
 def render_pt(scene: Scene, config: PTConfig, task=None, progress_cb=None,
-              checkpoint_path=None, checkpoint_every: int = 0):
+              checkpoint_path=None, checkpoint_every: int = 0, session=None):
     """Render, returning (image [H, W, 3] numpy, stats dict).
 
     checkpoint_path: if set, resume from it when compatible and save the
@@ -94,6 +94,9 @@ def render_pt(scene: Scene, config: PTConfig, task=None, progress_cb=None,
         sampler_config=task.sampler if task else None,
     )
 
+    from ..stats import RenderStats
+
+    render_stats = RenderStats()
     film = Film.new(width, height)
     start_pass = 0
     if checkpoint_path:
@@ -120,8 +123,23 @@ def render_pt(scene: Scene, config: PTConfig, task=None, progress_cb=None,
                 checkpoint_path, film,
                 {"kind": "pt", "passes_done": p + 1, "spp_chunk": spp_chunk},
             )
+        if session is not None and session.save_intermediate:
+            # per-pass EXR dumps + stats series (pt.rs:1138-1155 protocol)
+            from pathlib import Path
+
+            from ..core.image_io import write_image
+
+            jax.block_until_ready(film)
+            spp_done = (p + 1) * spp_chunk
+            ipath = str(Path(session.out_dir) / f"{session.name}-{spp_done}.exr")
+            write_image(ipath, np.asarray(develop(film, width, height)))
+            render_stats.record(time.time() - t0, spp_done, ipath)
     jax.block_until_ready(film)
     stats["total_time"] = time.time() - t0
     stats["spp_total"] = n_passes * spp_chunk
+    if session is not None:
+        render_stats.record(stats["total_time"], stats["spp_total"])
+        if session.save_stats:
+            render_stats.write(session)
     img = np.asarray(develop(film, width, height))
     return img, stats

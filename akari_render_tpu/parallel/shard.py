@@ -50,7 +50,11 @@ def make_sharded_pass(scene, settings: PTSettings, filt, width: int, height: int
     assert npix % ndev == 0, f"{npix} pixels not divisible by {ndev} devices"
 
     def shard_body(arrays, film, pix, pass_idx):
-        # pix: [npix/ndev] local pixel ids; arrays+film replicated in-shard
+        # pix: [npix/ndev] local pixel ids; scene replicated, FILM SHARDED:
+        # lane i of the shard IS film row pix[i], so accumulation is a pure
+        # elementwise add and a pass needs ZERO inter-chip communication —
+        # the film only gathers at develop time. (The psum-every-pass scheme
+        # is only needed for splatting integrators; see render_mcmc_sharded.)
         sc = replace(scene, arrays=arrays)
         seq = U64(jnp.broadcast_to(pass_idx.astype(jnp.uint32), pix.shape), pix)
         sampler = IndependentSampler(Pcg32.new_seq(seq))
@@ -65,20 +69,15 @@ def make_sharded_pass(scene, settings: PTSettings, filt, width: int, height: int
         )
         ray_o, ray_d = generate_rays(sc.camera, p_film)
         radiance, aux, _ = trace_paths(sc, settings, ray_o, ray_d, sampler)
-        delta = add_samples(Film.new(width, height), p_film, radiance, fw, width, height)
-        # merge partial films over ICI
-        delta = jax.tree_util.tree_map(lambda x: jax.lax.psum(x, "d"), delta)
-        return Film(
-            accum=film.accum + delta.accum,
-            splat=film.splat + delta.splat,
-            weight=film.weight + delta.weight,
-        )
+        from ..core.film import add_samples_aligned
+
+        return add_samples_aligned(film, radiance, fw)
 
     sharded = shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(P(), P(), P("d"), P()),
-        out_specs=P(),
+        in_specs=(P(), P("d"), P("d"), P()),
+        out_specs=P("d"),
         check_rep=False,
     )
 
