@@ -66,7 +66,8 @@ def _emission_at(scene: Scene, si, wo):
     dispatches per bounce)."""
     ce = scene.arrays.const_emission
     if ce is not None:
-        return jax.nn.one_hot(si["mat"], ce.shape[0], dtype=jnp.float32) @ ce
+        oh = jax.nn.one_hot(si["mat"], ce.shape[0], dtype=jnp.float32)
+        return jnp.matmul(oh, ce, precision=jax.lax.Precision.HIGHEST)
     return _select_by_kind(scene, si, lambda c: c.emission(wo))
 
 

@@ -5,12 +5,12 @@ Reference: crates/akari_integrator/src/gpt.rs — base path + 4 shifted paths
 films for variance, and iterative Jacobi screened-Poisson reconstruction
 (gpt.rs:487-612) with optional inverse-variance weights.
 
-Shift mapping: this implementation uses PRIMARY-SAMPLE-SPACE replay shifts —
-the shifted path reuses the base path's PSS vector from the offset pixel
-(jacobian 1, MIS weight 1/(1+J) = 1/2). The reference's half-vector/
-reconnection hybrid shift (pt.rs:328-900) produces lower-variance gradients
-on specular chains and is planned as an upgrade; the estimator here is
-unbiased with the same film/reconstruction pipeline.
+Shift mapping: two modes.
+- "reconnect" (default): replay prefix + deterministic reconnection to the
+  base path's recorded vertex with the full jacobian (gpt_reconnect.py),
+  the reference's hybrid shift (pt.rs:328-900).
+- "pss": pure primary-sample-space replay (jacobian 1, weight 1/2) — a
+  simpler unbiased fallback.
 """
 from __future__ import annotations
 
@@ -53,7 +53,8 @@ def _reflect_offset(pix, off, width, height):
     return p
 
 
-def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None):
+def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None,
+               shift_mode: str = "reconnect"):
     t0 = time.time()
     width, height = scene.camera.width, scene.camera.height
     npix = width * height
@@ -81,7 +82,25 @@ def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None):
             us.append(u)
         pss = jnp.stack(us, -1)
 
-        p_film, base, rng = _eval_from_pixel(sc, settings, filt, pix, pss, rng)
+        if shift_mode == "reconnect":
+            from .gpt_reconnect import trace_base_record
+            from .mcmc import ReplaySampler
+
+            sampler = ReplaySampler(pss, jnp.zeros(npix, jnp.int32), rng)
+            sampler, u_film = sampler.next_2d()
+            off, fw = filt.sample(u_film)
+            p_film = pix.astype(jnp.float32) + 0.5 + off
+            ray_o, ray_d = generate_rays(sc.camera, p_film)
+            base, rec, sampler = trace_base_record(
+                sc, settings, ray_o, ray_d, sampler,
+                min_dist=config.shift_mapping_min_dist,
+                min_rough=config.shift_mapping_min_roughness,
+            )
+            base = base * fw[..., None]
+            rng = sampler.rng
+        else:
+            rec = None
+            p_film, base, rng = _eval_from_pixel(sc, settings, filt, pix, pss, rng)
         w1 = jnp.ones(npix)
         primal = add_samples(primal, p_film, base, w1, width, height)
         primal_sq = add_samples(primal_sq, p_film, base * base, w1, width, height)
@@ -92,11 +111,28 @@ def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None):
             is_x = off[0] != 0
             off_j = jnp.asarray(off * stride)
             spix = _reflect_offset(pix, off_j, width, height)
-            _, shifted, rng = _eval_from_pixel(sc, settings, filt, spix, pss, rng)
-            # MIS weight between the two shift directions (jacobian 1 for the
-            # PSS replay shift): each gradient is estimated from both of its
-            # endpoint pixels -> 1/(1+J) = 1/2 (gpt.rs:284-316)
-            w = 0.5
+            if shift_mode == "reconnect":
+                from .gpt_reconnect import trace_shift_reconnect
+                from .mcmc import ReplaySampler
+
+                sampler = ReplaySampler(pss, jnp.zeros(npix, jnp.int32), rng)
+                sampler, u_film = sampler.next_2d()
+                soff, sfw = filt.sample(u_film)
+                sp_film = spix.astype(jnp.float32) + 0.5 + soff
+                s_o, s_d = generate_rays(sc.camera, sp_film)
+                shifted, jac, sampler = trace_shift_reconnect(
+                    sc, settings, s_o, s_d, sampler, rec,
+                    min_dist=config.shift_mapping_min_dist,
+                    min_rough=config.shift_mapping_min_roughness,
+                )
+                shifted = shifted * sfw[..., None]
+                rng = sampler.rng
+                # jacobian-aware pair MIS weight (gpt.rs:284-316)
+                w = 1.0 / (1.0 + jac)
+            else:
+                _, shifted, rng = _eval_from_pixel(sc, settings, filt, spix, pss, rng)
+                # PSS replay shift has jacobian 1 -> 1/(1+J) = 1/2
+                w = jnp.full(npix, 0.5)
             # forward differences: G[p] = I[p + e] - I[p], stored at the
             # lower-index pixel of the pair
             grad = (shifted - base) if positive else (base - shifted)
@@ -104,8 +140,8 @@ def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None):
             gp = gpix.astype(jnp.float32) + 0.5
             target = gx if is_x else gy
             tsq = gx_sq if is_x else gy_sq
-            target = add_samples(target, gp, grad * w, jnp.full(npix, w), width, height)
-            tsq = add_samples(tsq, gp, grad * grad * w, jnp.full(npix, w), width, height)
+            target = add_samples(target, gp, grad * w[..., None], w, width, height)
+            tsq = add_samples(tsq, gp, grad * grad * w[..., None], w, width, height)
             if is_x:
                 gx, gx_sq = target, tsq
             else:

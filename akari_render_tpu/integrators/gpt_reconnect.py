@@ -1,0 +1,350 @@
+"""Reconnection shift mapping for gradient-domain PT.
+
+Reference: the ReconnectionShiftMapping machinery woven through
+crates/akari_integrator/src/pt.rs:328-900 + gpt.rs:206-349. Semantics:
+
+- BASE path records its first "reconnectible" vertex V = x_k: the first
+  bounce where dist(x_{k-1}, x_k) >= min_dist and both endpoint roughnesses
+  >= min_roughness. Stored per lane: V's triangle/bary, the pdf of the
+  base's direction at x_{k-1} (the connection segment), the base's sampled
+  direction + pdf AT V, the NEE sample at V (li/pdf, wi, light pdf), and
+  `indirect` = radiance gathered after V at unit throughput (the
+  reconnect_beta/reconnect_radiance accumulators, pt.rs:151-156, 794-822).
+- SHIFT paths replay the same primary samples from the offset pixel up to
+  vertex index k-1, then RECONNECT deterministically to V:
+  wi' = normalize(V - x'_{k-1}); jacobian J = (cos at V toward x') /
+  (cos at V toward x) * dist^2 / dist'^2; the tail reuses the BASE pdfs
+  (the shift is a deterministic map of the base sample):
+     contrib = beta'_{k-1} * f'(wo', wi') / pdf_base(x_{k-1}) * J *
+               [ Le(V->x') * mis + f_V(wo'_V, wi_nee) * (li*mis'/pdf_l)
+                 + f_V(wo'_V, wi_base)/pdf_V * indirect ]
+- The shift FAILS (jacobian 0, prefix-only radiance — gpt MIS then weights
+  the pair 1/(1+0)) if it dies early, its own first eligible pair index is
+  earlier than k (non-reversibility, pt.rs:823-829), the connection violates
+  the distance/roughness criteria, or V is occluded from x'_{k-1}.
+
+Everything is lane-parallel and unrolled (static max_depth); masks replace
+the reference's device control flow.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core.math import RAY_TMAX, dot, face_forward, length, offset_ray_origin
+from ..core.sampling import mis_weight
+from ..lights import finish_light_sample, pdf_direct, sample_light_point
+from .common import PTSettings, _emission_at, _select_by_kind
+
+
+class ReconnectionRecord(NamedTuple):
+    valid: jnp.ndarray
+    depth: jnp.ndarray  # [N] int32: index k of V (>= 1)
+    tri: jnp.ndarray
+    bary: jnp.ndarray
+    prev_pdf: jnp.ndarray  # [N] base pdf of the x_{k-1} -> V direction
+    wi: jnp.ndarray  # [N, 3] base's sampled dir at V
+    bsdf_pdf: jnp.ndarray  # [N] base pdf of wi at V
+    direct: jnp.ndarray  # [N, 3] NEE li/pdf at V (0 if occluded/invalid)
+    direct_wi: jnp.ndarray
+    direct_light_pdf: jnp.ndarray
+    indirect: jnp.ndarray  # [N, 3] radiance after V at unit throughput
+    cos_at_v: jnp.ndarray  # [N] |n_V . (dir V->x_{k-1})|
+    dist: jnp.ndarray  # [N] |x_{k-1} - V|
+
+
+def _bounce(scene, settings, st, depth, sampler, record_mode,
+            min_dist=0.03, min_rough=0.2):
+    """One bounce shared by base/shift. Returns (st, sampler, pre) where
+    `pre` carries the PRE-continuation quantities the reconnection needs:
+    si (this bounce's interaction = x at this index), wo, beta at the
+    vertex, shading result, eligibility of the (prev, here) pair."""
+    n = st["ray_o"].shape[0]
+    a = scene.arrays
+    hit = scene.intersect_alpha(
+        st["ray_o"], st["ray_d"], jnp.zeros((n,)), jnp.full((n,), RAY_TMAX),
+        exclude0=st["exclude"],
+    )
+    lane_hit = st["active"] & hit.valid
+    si = scene.surface_interaction(jnp.maximum(hit.tri_id, 0), hit.bary)
+    wo = -st["ray_d"]
+
+    # emission on hit (MIS, pt.rs:230-258)
+    front = dot(si["ng"], st["ray_d"]) < 0.0
+    is_light = lane_hit & (si["light_id"] >= 0) & front
+    le = _emission_at(scene, si, wo)
+    lpdf = pdf_direct(
+        a.lights, si["light_id"], si["prim_pdf"], si["area"], si["ng"], si["p"], st["ray_o"]
+    )
+    w_mis = jnp.where(depth == 0, 1.0, mis_weight(st["prev_bsdf_pdf"], lpdf))
+    contrib = st["beta"] * le * w_mis[..., None]
+    st["radiance"] = st["radiance"] + jnp.where(is_light[..., None], contrib, 0.0)
+    if record_mode:
+        rcontrib = st["rbeta"] * le * w_mis[..., None]
+        st["rradiance"] = st["rradiance"] + jnp.where(
+            (is_light & st["rec_valid"])[..., None], rcontrib, 0.0
+        )
+
+    st["active"] = lane_hit
+    beta_at_vertex = st["beta"]
+    pair_dist = length(si["p"] - st["prev_p"])
+
+    # NEE (pt.rs:470-513)
+    sampler, u_light = sampler.next_3d()
+    light, lc_pdf, ltri, lprim_pdf, lbary = sample_light_point(
+        a.lights, a, u_light[..., 0], u_light[..., 1:]
+    )
+    lsi = scene.surface_interaction(ltri, lbary)
+    ls = finish_light_sample(
+        lc_pdf, lprim_pdf, ltri, lbary, jnp.zeros((n, 3)),
+        lsi["p"], lsi["ng"], lsi["area"], si["p"], si["ng"],
+    )
+    l_emission = _emission_at(scene, lsi, -ls.wi)
+    front_l = dot(ls.wi, lsi["ng"]) < 0.0
+    ls = ls._replace(li=jnp.where(front_l[..., None], l_emission, 0.0))
+    light_valid = ls.valid & st["active"]
+
+    sampler, u_bsdf = sampler.next_3d()
+
+    def shade(closure):
+        out = {}
+        f_l, pdf_l = closure.evaluate(wo, ls.wi)
+        w = mis_weight(ls.pdf, pdf_l)
+        out["direct"] = ls.li * f_l * (w / jnp.maximum(ls.pdf, 1e-20))[..., None]
+        s = closure.sample(wo, u_bsdf[..., 0], u_bsdf[..., 1:])
+        out["wi"], out["f"], out["pdf"], out["valid"] = s["wi"], s["f"], s["pdf"], s["valid"]
+        out["roughness"] = closure.roughness(wo, u_bsdf[..., 0])
+        return out
+
+    sh = _select_by_kind(scene, si, shade)
+
+    occluded = scene.occlude_alpha(
+        ls.shadow_ro, ls.wi, jnp.zeros((n,)), ls.shadow_dist,
+        exclude0=si["tri_id"].astype(jnp.int32), exclude1=ls.dest_tri,
+    )
+    direct_ok = light_valid & ~occluded
+    st["radiance"] = st["radiance"] + jnp.where(
+        direct_ok[..., None], st["beta"] * sh["direct"], 0.0
+    )
+    if record_mode:
+        st["rradiance"] = st["rradiance"] + jnp.where(
+            (direct_ok & st["rec_valid"])[..., None], st["rbeta"] * sh["direct"], 0.0
+        )
+
+    eligible = (
+        st["active"]
+        & (depth >= 1)
+        & (pair_dist >= min_dist)
+        & (st["prev_roughness"] >= min_rough)
+        & (sh["roughness"] >= min_rough)
+    )
+
+    pre = {
+        "si": si, "wo": wo, "beta": beta_at_vertex, "sh": sh,
+        "eligible": eligible, "pair_dist": pair_dist, "hit_valid": lane_hit,
+        "ls": ls, "direct_ok": direct_ok, "prev_pdf": st["prev_bsdf_pdf"],
+    }
+
+    if record_mode:
+        new_rec = eligible & ~st["rec_valid"]
+        m = new_rec
+        st["rec_valid"] = st["rec_valid"] | new_rec
+        st["rec_depth"] = jnp.where(m, depth, st["rec_depth"])
+        st["rec_tri"] = jnp.where(m, si["tri_id"].astype(jnp.int32), st["rec_tri"])
+        st["rec_bary"] = jnp.where(m[..., None], hit.bary, st["rec_bary"])
+        st["rec_prev_pdf"] = jnp.where(m, st["prev_bsdf_pdf"], st["rec_prev_pdf"])
+        st["rec_wi"] = jnp.where(m[..., None], sh["wi"], st["rec_wi"])
+        st["rec_bsdf_pdf"] = jnp.where(m, sh["pdf"], st["rec_bsdf_pdf"])
+        st["rec_direct"] = jnp.where(
+            (m & direct_ok)[..., None],
+            ls.li / jnp.maximum(ls.pdf, 1e-20)[..., None],
+            jnp.where(m[..., None], 0.0, st["rec_direct"]),
+        )
+        st["rec_direct_wi"] = jnp.where(m[..., None], ls.wi, st["rec_direct_wi"])
+        st["rec_direct_light_pdf"] = jnp.where(m, ls.pdf, st["rec_direct_light_pdf"])
+        st["rec_cos"] = jnp.where(m, jnp.abs(dot(si["ng"], wo)), st["rec_cos"])
+        st["rec_dist"] = jnp.where(m, pair_dist, st["rec_dist"])
+        st["rbeta"] = jnp.where(m[..., None], 1.0, st["rbeta"])
+        st["rradiance"] = jnp.where(m[..., None], 0.0, st["rradiance"])
+    else:
+        first_el = eligible & (st["first_eligible"] < 0)
+        st["first_eligible"] = jnp.where(first_el, depth, st["first_eligible"])
+
+    # continuation
+    sample_ok = sh["valid"] & (sh["pdf"] > 0.0) & (jnp.min(sh["f"], -1) >= 0.0)
+    st["active"] = st["active"] & sample_ok
+    throughput = sh["f"] / jnp.maximum(sh["pdf"], 1e-20)[..., None]
+    st["beta"] = st["beta"] * jnp.where(st["active"][..., None], throughput, 1.0)
+    if record_mode:
+        just_rec = st["rec_valid"] & (st["rec_depth"] == depth)
+        st["rbeta"] = st["rbeta"] * jnp.where(
+            (st["active"] & st["rec_valid"] & ~just_rec)[..., None], throughput, 1.0
+        )
+
+    sampler, u_rr = sampler.next_1d()
+    cont_prob = jnp.where(
+        depth + 1 > settings.rr_depth,
+        jnp.clip(jnp.max(st["beta"], -1), 0.0, 1.0) * 0.95,
+        1.0,
+    )
+    st["active"] = st["active"] & (u_rr < cont_prob)
+    st["beta"] = st["beta"] / jnp.maximum(cont_prob, 1e-20)[..., None]
+    if record_mode:
+        st["rbeta"] = st["rbeta"] / jnp.maximum(cont_prob, 1e-20)[..., None]
+
+    st["prev_bsdf_pdf"] = sh["pdf"]
+    st["prev_p"] = si["p"]
+    st["prev_roughness"] = sh["roughness"]
+    st["ray_o"] = offset_ray_origin(si["p"], face_forward(si["ng"], sh["wi"]))
+    st["ray_d"] = sh["wi"]
+    st["exclude"] = si["tri_id"].astype(jnp.int32)
+    return st, sampler, pre
+
+
+def _init_state(n, record_mode):
+    st = {
+        "exclude": jnp.full((n,), -1, jnp.int32),
+        "radiance": jnp.zeros((n, 3)),
+        "beta": jnp.ones((n, 3)),
+        "active": jnp.ones((n,), bool),
+        "prev_bsdf_pdf": jnp.zeros((n,)),
+        "prev_p": jnp.full((n, 3), 1e10),
+        "prev_roughness": jnp.zeros((n,)),
+    }
+    if record_mode:
+        st.update(
+            rec_valid=jnp.zeros((n,), bool),
+            rec_depth=jnp.full((n,), -1, jnp.int32),
+            rec_tri=jnp.full((n,), -1, jnp.int32),
+            rec_bary=jnp.zeros((n, 2)),
+            rec_prev_pdf=jnp.zeros((n,)),
+            rec_wi=jnp.zeros((n, 3)),
+            rec_bsdf_pdf=jnp.zeros((n,)),
+            rec_direct=jnp.zeros((n, 3)),
+            rec_direct_wi=jnp.zeros((n, 3)),
+            rec_direct_light_pdf=jnp.zeros((n,)),
+            rec_cos=jnp.zeros((n,)),
+            rec_dist=jnp.zeros((n,)),
+            rbeta=jnp.ones((n, 3)),
+            rradiance=jnp.zeros((n, 3)),
+        )
+    else:
+        st.update(
+            first_eligible=jnp.full((n,), -1, jnp.int32),
+            connected=jnp.zeros((n,), bool),
+        )
+    return st
+
+
+def trace_base_record(scene, settings: PTSettings, ray_o, ray_d, sampler,
+                      min_dist=0.03, min_rough=0.2):
+    """Base path; returns (radiance, ReconnectionRecord, sampler)."""
+    n = ray_o.shape[0]
+    st = _init_state(n, record_mode=True)
+    st["ray_o"], st["ray_d"] = ray_o, ray_d
+    for depth in range(settings.max_depth):
+        st, sampler, _ = _bounce(
+            scene, settings, st, depth, sampler, True,
+            min_dist=min_dist, min_rough=min_rough,
+        )
+    rec = ReconnectionRecord(
+        valid=st["rec_valid"], depth=st["rec_depth"], tri=st["rec_tri"],
+        bary=st["rec_bary"], prev_pdf=st["rec_prev_pdf"], wi=st["rec_wi"],
+        bsdf_pdf=st["rec_bsdf_pdf"], direct=st["rec_direct"],
+        direct_wi=st["rec_direct_wi"], direct_light_pdf=st["rec_direct_light_pdf"],
+        indirect=st["rradiance"], cos_at_v=st["rec_cos"], dist=st["rec_dist"],
+    )
+    return st["radiance"], rec, sampler
+
+
+def trace_shift_reconnect(scene, settings: PTSettings, ray_o, ray_d, sampler,
+                          rec: ReconnectionRecord, min_dist=0.03, min_rough=0.2):
+    """Shifted path with reconnection; returns (radiance, jacobian, sampler).
+
+    jacobian is 0 for failed shifts (their radiance is prefix-only)."""
+    n = ray_o.shape[0]
+    st = _init_state(n, record_mode=False)
+    st["ray_o"], st["ray_d"] = ray_o, ray_d
+    jacobian = jnp.zeros((n,))
+    v_si = scene.surface_interaction(jnp.maximum(rec.tri, 0), rec.bary)
+
+    for depth in range(settings.max_depth):
+        was_active = st["active"]
+        st, sampler, pre = _bounce(
+            scene, settings, st, depth, sampler, False,
+            min_dist=min_dist, min_rough=min_rough,
+        )
+        si = pre["si"]
+        do_connect = (
+            rec.valid
+            & pre["hit_valid"]
+            & ~st["connected"]
+            & (depth == rec.depth - 1)
+            & ((st["first_eligible"] < 0) | (st["first_eligible"] >= rec.depth))
+        )
+        xp = si["p"]
+        to_v = v_si["p"] - xp
+        dist_p = length(to_v)
+        wi_p = to_v / jnp.maximum(dist_p, 1e-20)[..., None]
+        ok = (
+            do_connect
+            & (dist_p >= min_dist)
+            & (pre["sh"]["roughness"] >= min_rough)
+        )
+        ro = offset_ray_origin(xp, face_forward(si["ng"], wi_p))
+        occ = scene.occlude_alpha(
+            ro, wi_p, jnp.zeros((n,)), dist_p * (1.0 - 1e-3),
+            exclude0=si["tri_id"].astype(jnp.int32), exclude1=rec.tri,
+        )
+        ok = ok & ~occ
+
+        # f'(wo', wi') at x'_{k-1}
+        wo_p = pre["wo"]
+
+        def eval_conn(closure):
+            f, pdf = closure.evaluate(wo_p, wi_p)
+            return {"f": f}
+
+        fconn = _select_by_kind(scene, si, eval_conn)["f"]
+
+        # V-side: emission + NEE + indirect reweighting with wo'_V = -wi'
+        wo_v = -wi_p
+
+        def eval_v(closure):
+            fd, pd = closure.evaluate(wo_v, rec.direct_wi)
+            fi, _ = closure.evaluate(wo_v, rec.wi)
+            return {"fd": fd, "pd": pd, "fi": fi}
+
+        vv = _select_by_kind(scene, v_si, eval_v)
+        le_v = _emission_at(scene, v_si, wo_v)
+        front_v = (dot(v_si["ng"], wi_p) < 0.0) & (v_si["light_id"] >= 0)
+        lpdf_v = pdf_direct(
+            scene.arrays.lights, v_si["light_id"], v_si["prim_pdf"],
+            v_si["area"], v_si["ng"], v_si["p"], xp,
+        )
+        w_le = mis_weight(rec.prev_pdf, lpdf_v)
+        le_term = jnp.where(front_v[..., None], le_v * w_le[..., None], 0.0)
+        w_nee = mis_weight(rec.direct_light_pdf, vv["pd"])
+        nee_term = vv["fd"] * rec.direct * w_nee[..., None]
+        ind_term = vv["fi"] / jnp.maximum(rec.bsdf_pdf, 1e-20)[..., None] * rec.indirect
+        tail = le_term + nee_term + ind_term
+
+        cos_p = jnp.abs(dot(v_si["ng"], wo_v))
+        J = (cos_p / jnp.maximum(rec.cos_at_v, 1e-20)) * (
+            rec.dist**2 / jnp.maximum(dist_p**2, 1e-20)
+        )
+        conn = (
+            pre["beta"]
+            * fconn
+            / jnp.maximum(rec.prev_pdf, 1e-20)[..., None]
+            * tail
+            * J[..., None]
+        )
+        st["radiance"] = st["radiance"] + jnp.where(ok[..., None], conn, 0.0)
+        jacobian = jnp.where(ok, J, jacobian)
+        st["connected"] = st["connected"] | ok
+        # connecting lanes (even failed ones at their index) stop replaying
+        st["active"] = st["active"] & ~do_connect
+
+    return st["radiance"], jacobian, sampler

@@ -188,7 +188,10 @@ class Scene:
         b1 = bary[..., 1:2]
         if self.num_tris <= self.ONE_HOT_MAX_TRIS:
             oh = jax.nn.one_hot(t, a.attr.shape[0], dtype=jnp.float32)
-            attr = oh @ a.attr
+            # GEOMETRY goes through this matmul: TPU f32 matmuls default to
+            # bf16 passes, which quantizes vertex positions (visible as
+            # terracing + corner seams). Force full f32 precision.
+            attr = jnp.matmul(oh, a.attr, precision=jax.lax.Precision.HIGHEST)
             v0 = attr[..., 0:3]
             e1 = attr[..., 3:6]
             e2 = attr[..., 6:9]
@@ -254,7 +257,7 @@ class Scene:
         mat_matrix = self.arrays.param_mats[kind_idx]
         n_mats = mat_matrix.shape[0]
         onehot = jax.nn.one_hot(si["mat"], n_mats, dtype=jnp.float32)
-        params = onehot @ mat_matrix
+        params = jnp.matmul(onehot, mat_matrix, precision=jax.lax.Precision.HIGHEST)
         return EvalContext(
             params=params,
             uv=si["uv"],
