@@ -178,19 +178,24 @@ class Frame:
 
 
 # --- Affine transforms -------------------------------------------------------
+# GEOMETRY einsums must force full f32: TPU matmuls default to bf16 passes,
+# which quantizes ray directions/positions (terraced silhouettes at 1024p).
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
 def transform_point(m, p):
     """Apply 4x4 matrix [..., 4, 4] (or [4,4]) to points [..., 3]."""
-    r = jnp.einsum("...ij,...j->...i", m[..., :3, :3], p) + m[..., :3, 3]
+    r = jnp.einsum("...ij,...j->...i", m[..., :3, :3], p, precision=_HIGHEST) + m[..., :3, 3]
     return r
 
 
 def transform_vector(m, v):
-    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], v)
+    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], v, precision=_HIGHEST)
 
 
 def transform_normal(m_inv, n):
     """Normals transform by inverse-transpose: pass the INVERSE matrix here."""
-    return jnp.einsum("...ji,...j->...i", m_inv[..., :3, :3], n)
+    return jnp.einsum("...ji,...j->...i", m_inv[..., :3, :3], n, precision=_HIGHEST)
 
 
 def difference_of_products(a, b, c, d):
