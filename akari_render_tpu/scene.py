@@ -69,15 +69,19 @@ class Scene:
     # max triangle count for the one-hot-matmul attribute fetch; beyond this
     # the [N, T] one-hot outweighs gathers (BVH scenes use the gather path)
     ONE_HOT_MAX_TRIS = 2048
-    # below this, dense [T, N] brute force beats BVH traversal on TPU
-    BVH_MIN_TRIS = 4096
+    # accel routing tiers (measured on TPU v5e, 128k-ray batches):
+    #   T <= PALLAS_MAX: unrolled Pallas kernel (fastest, compile ~ O(T))
+    #   T <= BVH_MIN_TRIS: XLA [T, N] brute force (beats clusters to ~32k)
+    #   else: cluster culling
+    PALLAS_MAX_TRIS = 512
+    BVH_MIN_TRIS = 32768
 
     def intersect(self, o, d, tmin, tmax, exclude0=None, exclude1=None):
         """Closest-hit through whichever accel the scene carries
         (the rtx::Accel::intersect analog, scene.rs:111-153)."""
         a = self.arrays
         if a.bvh is None:
-            if _on_tpu():
+            if _on_tpu() and self.num_tris <= self.PALLAS_MAX_TRIS:
                 from .accel.pallas_intersect import intersect_pallas, pack_tris
 
                 tri = pack_tris(a.v0, a.e1, a.e2)
@@ -152,7 +156,7 @@ class Scene:
         """Any-hit (the rtx occlude analog, scene.rs:154-185)."""
         a = self.arrays
         if a.bvh is None:
-            if _on_tpu():
+            if _on_tpu() and self.num_tris <= self.PALLAS_MAX_TRIS:
                 from .accel.pallas_intersect import intersect_pallas, pack_tris
 
                 tri = pack_tris(a.v0, a.e1, a.e2)

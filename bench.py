@@ -27,8 +27,11 @@ def main():
 
     res = int(os.environ.get("BENCH_RES", "1024"))
     spp = int(os.environ.get("BENCH_SPP", "16"))
+    scene_path = os.environ.get(
+        "BENCH_SCENE", "/root/reference/scenes/cbox/scene.json"
+    )
 
-    scene = load_scene("/root/reference/scenes/cbox/scene.json", width=res, height=res)
+    scene = load_scene(scene_path, width=res, height=res)
     settings = PTSettings(max_depth=12, rr_depth=5)  # reference pt.json config
     one_pass = _render_pass_fn(scene, settings, GaussianFilter(1.5), res, res, spp)
     film = Film.new(res, res)
@@ -48,7 +51,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "cbox_pt_throughput",
+                "metric": ("cbox_pt_throughput" if "cbox" in scene_path else "scene_pt_throughput"),
                 "value": round(mpaths_s, 3),
                 "unit": "Mpaths/s",
                 "vs_baseline": round(mpaths_s, 3),

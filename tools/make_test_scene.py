@@ -21,7 +21,11 @@ from akari_render_tpu.scenegraph.write import SceneBuilder  # noqa: E402
 def quad(builder, name, a, b, c, d):
     v = np.asarray([a, b, c, d], np.float32)
     idx = np.asarray([[0, 1, 2], [0, 2, 3]], np.uint32)
-    builder.add_mesh(name, v, idx)
+    # per-corner uvs (two triangles): unit square mapping
+    uv = np.asarray(
+        [[0, 0], [1, 0], [1, 1], [0, 0], [1, 1], [0, 1]], np.float32
+    )
+    builder.add_mesh(name, v, idx, uvs=uv)
     return name
 
 
