@@ -6,10 +6,13 @@ in HBM (~10 arrays per Möller-Trumbore pass); at 1M rays that is HBM-bound
 (small) triangle list entirely on-chip: per grid step everything lives in
 VMEM/registers, so the VPU runs at compute bound.
 
-Used for the small-scene regime (T <= ~512, e.g. cbox's 36 triangles) where
-brute force beats any acceleration structure; larger scenes use the cluster
-accel. Layouts are SoA with the RAY axis minor ([3, N] etc.) so vectors map
-onto full 128-wide lanes.
+Small scenes (T <= TRI_CHUNK, e.g. cbox's 36 triangles) run one triangle
+chunk; mid-size scenes (up to Scene.PALLAS_MAX_TRIS) add an inner grid
+dimension over TRI_CHUNK-triangle chunks — the per-ray-block output stays
+VMEM-resident across consecutive chunk steps (Pallas TPU revisiting /
+reduction pattern), so best-hit state never round-trips HBM. Beyond that the
+cluster accel takes over. Layouts are SoA with the RAY axis minor ([3, N]
+etc.) so vectors map onto full 128-wide lanes.
 """
 from __future__ import annotations
 
@@ -23,20 +26,33 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.math import RAY_TMAX
 
 BLOCK = 2048  # rays per grid step (VMEM: ~13 f32 arrays x 8KB = comfy)
+TRI_CHUNK = 512  # triangles per inner grid step (static unroll per chunk)
 
 
 def _kernel(tri_ref, o_ref, d_ref, lim_ref, ex_ref, out_ref, *, num_tris, any_hit):
     o_x, o_y, o_z = o_ref[0, :], o_ref[1, :], o_ref[2, :]
     d_x, d_y, d_z = d_ref[0, :], d_ref[1, :], d_ref[2, :]
     tmin = lim_ref[0, :]
-    best_t = lim_ref[1, :]  # tmax as initial best
     ex0 = ex_ref[0, :]
     ex1 = ex_ref[1, :]
-    best_id = jnp.full_like(ex0, -1)
-    best_u = jnp.zeros_like(best_t)
-    best_v = jnp.zeros_like(best_t)
 
-    for j in range(num_tris):  # static unroll: tri scalars become constants
+    chunk = pl.program_id(1) if num_tris > TRI_CHUNK else 0
+    base = (chunk * TRI_CHUNK).astype(jnp.float32) if num_tris > TRI_CHUNK else 0.0
+
+    @pl.when(chunk == 0)
+    def _init():
+        out_ref[0, :] = lim_ref[1, :]  # tmax as initial best
+        out_ref[1, :] = jnp.full_like(ex0, -1.0)
+        out_ref[2, :] = jnp.zeros_like(tmin)
+        out_ref[3, :] = jnp.zeros_like(tmin)
+
+    best_t = out_ref[0, :]
+    best_id = out_ref[1, :]
+    best_u = out_ref[2, :]
+    best_v = out_ref[3, :]
+
+    n_unroll = min(num_tris, TRI_CHUNK)
+    for j in range(n_unroll):  # static unroll: tri scalars become constants
         ax, ay, az = tri_ref[j, 0], tri_ref[j, 1], tri_ref[j, 2]
         e1x, e1y, e1z = tri_ref[j, 3], tri_ref[j, 4], tri_ref[j, 5]
         e2x, e2y, e2z = tri_ref[j, 6], tri_ref[j, 7], tri_ref[j, 8]
@@ -55,6 +71,7 @@ def _kernel(tri_ref, o_ref, d_ref, lim_ref, ex_ref, out_ref, *, num_tris, any_hi
         qz = tx * e1y - ty * e1x
         v = (qx * d_x + qy * d_y + qz * d_z) * inv_det
         t = (qx * e2x + qy * e2y + qz * e2z) * inv_det
+        gid = base + j  # global triangle id (float: exact to 2^24)
         hit = (
             (jnp.abs(det) > 1e-12)
             & (u >= 0.0)
@@ -62,19 +79,19 @@ def _kernel(tri_ref, o_ref, d_ref, lim_ref, ex_ref, out_ref, *, num_tris, any_hi
             & (u + v <= 1.0)
             & (t > tmin)
             & (t < best_t)
-            & (j != ex0)
-            & (j != ex1)
+            & (gid != ex0)
+            & (gid != ex1)
         )
         if any_hit:
-            best_id = jnp.where(hit, j, best_id)
+            best_id = jnp.where(hit, gid, best_id)
         else:
             best_t = jnp.where(hit, t, best_t)
-            best_id = jnp.where(hit, j, best_id)
+            best_id = jnp.where(hit, gid, best_id)
             best_u = jnp.where(hit, u, best_u)
             best_v = jnp.where(hit, v, best_v)
 
     out_ref[0, :] = best_t
-    out_ref[1, :] = best_id.astype(jnp.float32)
+    out_ref[1, :] = best_id
     out_ref[2, :] = best_u
     out_ref[3, :] = best_v
 
@@ -82,19 +99,29 @@ def _kernel(tri_ref, o_ref, d_ref, lim_ref, ex_ref, out_ref, *, num_tris, any_hi
 @functools.partial(jax.jit, static_argnames=("num_tris", "any_hit", "interpret"))
 def _run(tri, o_soa, d_soa, lim, ex, num_tris, any_hit, interpret=False):
     n = o_soa.shape[1]
-    grid = (n // BLOCK,)
+    if num_tris <= TRI_CHUNK:
+        grid = (n // BLOCK,)
+        tri_spec = pl.BlockSpec((tri.shape[0], 12), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        ray_ix = lambda i: (0, i)
+    else:
+        # inner (minor) grid dim walks triangle chunks; the out block index is
+        # constant in j, so best-hit state stays resident in VMEM across chunks
+        n_chunks = tri.shape[0] // TRI_CHUNK
+        grid = (n // BLOCK, n_chunks)
+        tri_spec = pl.BlockSpec((TRI_CHUNK, 12), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+        ray_ix = lambda i, j: (0, i)
     return pl.pallas_call(
         functools.partial(_kernel, num_tris=num_tris, any_hit=any_hit),
         out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tri.shape[0], 12), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            tri_spec,
+            pl.BlockSpec((3, BLOCK), ray_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BLOCK), ray_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, BLOCK), ray_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, BLOCK), ray_ix, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((4, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((4, BLOCK), ray_ix, memory_space=pltpu.VMEM),
         interpret=interpret,
     )(tri, o_soa, d_soa, lim, ex)
 
@@ -134,6 +161,12 @@ def intersect_pallas(tri_packed, o, d, tmin, tmax, exclude0=None, exclude1=None,
 
 
 def pack_tris(v0, e1, e2):
-    """[T,3]x3 -> [T,12] padded block for the kernel."""
+    """[T,3]x3 -> [Tpad,12] block for the kernel.
+
+    T > TRI_CHUNK is padded to a chunk multiple with degenerate triangles
+    (e1 = e2 = 0 -> det == 0 -> never hit)."""
     T = v0.shape[0]
-    return jnp.concatenate([v0, e1, e2, jnp.zeros((T, 3), jnp.float32)], axis=1)
+    packed = jnp.concatenate([v0, e1, e2, jnp.zeros((T, 3), jnp.float32)], axis=1)
+    if T > TRI_CHUNK and T % TRI_CHUNK != 0:
+        packed = jnp.pad(packed, ((0, TRI_CHUNK - T % TRI_CHUNK), (0, 0)))
+    return packed

@@ -73,7 +73,10 @@ class Scene:
     #   T <= PALLAS_MAX: unrolled Pallas kernel (fastest, compile ~ O(T))
     #   T <= BVH_MIN_TRIS: XLA [T, N] brute force (beats clusters to ~32k)
     #   else: cluster culling
-    PALLAS_MAX_TRIS = 512
+    # pallas kernel walks TRI_CHUNK-sized chunks with best-hit state resident
+    # in VMEM, so it covers mid-size scenes too (matbox: 4620 tris, measured
+    # 1.6x over the XLA brute path which round-trips [T, N] through HBM)
+    PALLAS_MAX_TRIS = 16384
     BVH_MIN_TRIS = 32768
 
     def intersect(self, o, d, tmin, tmax, exclude0=None, exclude1=None):

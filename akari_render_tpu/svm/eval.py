@@ -293,91 +293,137 @@ class _Evaluator:
         return CoatedBsdf(top=spec, bottom=diff, e_top_fn=e_top)
 
     def _principled(self, inp: dict) -> Surface:
-        """Blender 4.0 Principled BSDF combinator tree — mirrors
+        """Blender 4.0 Principled BSDF — mirrors
         crates/akari_render/src/svm/surface/principled.rs:11-215 exactly."""
         ctx = self.ctx
         color, _alpha = self.color_alpha(inp["base_color"])
-        transmission_color = jnp.sqrt(jnp.clip(color, 0.0, None))
         emission = self.color(inp["emission_color"]) * self.f(inp["emission_strength"])[..., None]
-        metallic = self.f(inp["metallic"])
-        roughness = self.f(inp["roughness"])
-        eta = self.f(inp["ior"])
-        transmission = self.f(inp["transmission_weight"])
-        diffuse = DiffuseBsdf(color * INV_PI)
-        specular_ior_level = self.f(inp["specular_ior_level"])
-        specular_tint = self.color(inp["specular_tint"])
-        clearcoat_weight = self.f(inp["coat_weight"])
-        clearcoat_roughness = self.f(inp["coat_roughness"])
-        clearcoat_ior = self.f(inp["coat_ior"])
-        clearcoat_tint = self.color(inp["coat_tint"])
-        table = get_table("ggx_dielectric_s")
-        from ..core.math import Frame
-
-        # specular layer: f0 tweaked by specular_ior_level (principled.rs:55-80)
-        f0 = f0_from_ior(eta)
-        f0 = jnp.where(specular_ior_level != 0.5, f0 * 2.0 * specular_ior_level, f0)
-        spec_eta = jnp.where(specular_ior_level != 0.5, ior_from_f0(f0), eta)
-        specular_weight = f0
-        spec_fresnel = lambda c: fr_dielectric(c, spec_eta)[..., None] * jnp.ones(3)
-        specular_brdf = MicrofacetReflection(
-            specular_tint * f0[..., None],
-            spec_fresnel,
-            TrowbridgeReitz.from_roughness(roughness),
-        )
-
-        def specular_albedo(cos):
-            return ggx_dielectric_albedo(table, roughness, cos, spec_eta)
-
-        coat_fresnel = lambda c: fr_dielectric(c, clearcoat_ior)[..., None] * jnp.ones(3)
-        clearcoat_brdf = MicrofacetReflection(
-            jnp.ones_like(color) * clearcoat_weight[..., None],
-            coat_fresnel,
-            TrowbridgeReitz.from_roughness(clearcoat_roughness),
-        )
-
-        def coat_albedo(cos):
-            return ggx_dielectric_albedo(table, clearcoat_roughness, cos, clearcoat_ior)
-
-        # dielectric = fresnel-weighted reflection+transmission (principled.rs:99-130)
-        diel_fresnel = lambda c: fr_dielectric(c, eta)[..., None] * jnp.ones(3)
-        diel_dist = TrowbridgeReitz.from_roughness(roughness)
-        diel_refl = MicrofacetReflection(color, diel_fresnel, diel_dist)
-        diel_trans = MicrofacetTransmission(transmission_color, eta, diel_fresnel, diel_dist)
-        dielectric = BsdfMixture(
-            lambda wo: fr_dielectric(Frame.cos_theta(wo), eta), diel_trans, diel_refl, "add"
-        )
-
-        # metal (principled.rs:131-142)
-        n_m, k_m = artistic_to_conductor_fresnel(color, specular_tint)
-        metal = MicrofacetReflection(
-            jnp.ones_like(color),
-            lambda c: fr_complex(jnp.abs(c), n_m, k_m),
-            TrowbridgeReitz.from_roughness(roughness),
-        )
-
-        bsdf = BsdfMixture(lambda wo: transmission, diffuse, dielectric, "mix")
-        bsdf = CoatedBsdf(
-            top=specular_brdf,
-            bottom=bsdf,
-            e_top_fn=lambda wo: specular_tint
-            * (specular_albedo(Frame.abs_cos_theta(wo)) * specular_weight)[..., None],
-        )
-        bsdf = BsdfMixture(lambda wo: metallic, bsdf, metal, "mix")
-        bsdf = EmissiveSurface(bsdf, emission)
-        bsdf = CoatedBsdf(
-            top=clearcoat_brdf,
-            bottom=ScaledBsdf(
-                bsdf,
-                lambda wo: 1.0 + (clearcoat_tint - 1.0) * clearcoat_weight[..., None],
-            ),
-            e_top_fn=lambda wo: (clearcoat_weight * coat_albedo(Frame.abs_cos_theta(wo)))[
-                ..., None
-            ]
-            * jnp.ones(3),
+        bsdf = build_principled_surface(
+            color=color,
+            emission=emission,
+            metallic=self.f(inp["metallic"]),
+            roughness=self.f(inp["roughness"]),
+            eta=self.f(inp["ior"]),
+            transmission=self.f(inp["transmission_weight"]),
+            specular_ior_level=self.f(inp["specular_ior_level"]),
+            specular_tint=self.color(inp["specular_tint"]),
+            coat_weight=self.f(inp["coat_weight"]),
+            coat_roughness=self.f(inp["coat_roughness"]),
+            coat_ior=self.f(inp["coat_ior"]),
+            coat_tint=self.color(inp["coat_tint"]),
         )
         # tangent-space normal input: x/y negated (principled.rs:200-215)
         nrm = self.f3(inp["normal"]) * jnp.array([-1.0, -1.0, 1.0])
         return normal_map(bsdf, nrm, ctx.ng, ctx.frame, "tangent")
+
+
+def build_principled_surface(*, color, emission, metallic, roughness, eta,
+                             transmission, specular_ior_level, specular_tint,
+                             coat_weight, coat_roughness, coat_ior, coat_tint,
+                             fused: bool | None = None) -> Surface:
+    """Principled BSDF lobe construction (principled.rs:11-199), pre-normal-map.
+
+    Two equivalent implementations (A/B tested exactly in test_bsdf.py):
+    - combinator tree: 5 independent microfacet lobes (mirrors the reference
+      structure 1:1) — the correctness anchor, chi2-tested
+    - FusedPrincipled: flat evaluation sharing the GGX base among the three
+      lobes with identical alpha (~2.5x cheaper evaluate); default on, opt
+      out with AKR_FUSED_PRINCIPLED=0
+    """
+    if fused is None:
+        import os
+
+        fused = os.environ.get("AKR_FUSED_PRINCIPLED", "1") != "0"
+    transmission_color = jnp.sqrt(jnp.clip(color, 0.0, None))
+    table = get_table("ggx_dielectric_s")
+    from ..core.math import Frame
+
+    # specular layer: f0 tweaked by specular_ior_level (principled.rs:55-80)
+    f0 = f0_from_ior(eta)
+    f0 = jnp.where(specular_ior_level != 0.5, f0 * 2.0 * specular_ior_level, f0)
+    spec_eta = jnp.where(specular_ior_level != 0.5, ior_from_f0(f0), eta)
+    specular_weight = f0
+
+    def specular_albedo(cos):
+        return ggx_dielectric_albedo(table, roughness, cos, spec_eta)
+
+    def coat_albedo(cos):
+        return ggx_dielectric_albedo(table, coat_roughness, cos, coat_ior)
+
+    if fused:
+        from .principled_fused import FusedPrincipled
+
+        return FusedPrincipled(
+            base_color=color,
+            metallic=metallic,
+            roughness=roughness,
+            eta=eta,
+            transmission=transmission,
+            spec_eta=spec_eta,
+            specular_weight=specular_weight,
+            specular_tint=specular_tint,
+            coat_weight=coat_weight,
+            coat_roughness=coat_roughness,
+            coat_ior=coat_ior,
+            coat_tint=coat_tint,
+            emission=emission,
+            spec_albedo_fn=specular_albedo,
+            coat_albedo_fn=coat_albedo,
+        )
+
+    diffuse = DiffuseBsdf(color * INV_PI)
+    spec_fresnel = lambda c: fr_dielectric(c, spec_eta)[..., None] * jnp.ones(3)
+    specular_brdf = MicrofacetReflection(
+        specular_tint * f0[..., None],
+        spec_fresnel,
+        TrowbridgeReitz.from_roughness(roughness),
+    )
+
+    coat_fresnel = lambda c: fr_dielectric(c, coat_ior)[..., None] * jnp.ones(3)
+    clearcoat_brdf = MicrofacetReflection(
+        jnp.ones_like(color) * coat_weight[..., None],
+        coat_fresnel,
+        TrowbridgeReitz.from_roughness(coat_roughness),
+    )
+
+    # dielectric = fresnel-weighted reflection+transmission (principled.rs:99-130)
+    diel_fresnel = lambda c: fr_dielectric(c, eta)[..., None] * jnp.ones(3)
+    diel_dist = TrowbridgeReitz.from_roughness(roughness)
+    diel_refl = MicrofacetReflection(color, diel_fresnel, diel_dist)
+    diel_trans = MicrofacetTransmission(transmission_color, eta, diel_fresnel, diel_dist)
+    dielectric = BsdfMixture(
+        lambda wo: fr_dielectric(Frame.cos_theta(wo), eta), diel_trans, diel_refl, "add"
+    )
+
+    # metal (principled.rs:131-142)
+    n_m, k_m = artistic_to_conductor_fresnel(color, specular_tint)
+    metal = MicrofacetReflection(
+        jnp.ones_like(color),
+        lambda c: fr_complex(jnp.abs(c), n_m, k_m),
+        TrowbridgeReitz.from_roughness(roughness),
+    )
+
+    bsdf = BsdfMixture(lambda wo: transmission, diffuse, dielectric, "mix")
+    bsdf = CoatedBsdf(
+        top=specular_brdf,
+        bottom=bsdf,
+        e_top_fn=lambda wo: specular_tint
+        * (specular_albedo(Frame.abs_cos_theta(wo)) * specular_weight)[..., None],
+    )
+    bsdf = BsdfMixture(lambda wo: metallic, bsdf, metal, "mix")
+    bsdf = EmissiveSurface(bsdf, emission)
+    bsdf = CoatedBsdf(
+        top=clearcoat_brdf,
+        bottom=ScaledBsdf(
+            bsdf,
+            lambda wo: 1.0 + (coat_tint - 1.0) * coat_weight[..., None],
+        ),
+        e_top_fn=lambda wo: (coat_weight * coat_albedo(Frame.abs_cos_theta(wo)))[
+            ..., None
+        ]
+        * jnp.ones(3),
+    )
+    return bsdf
 
 
 def eval_kind(kind: CompiledKind, ctx: EvalContext, mode: str = "surface"):

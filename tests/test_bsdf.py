@@ -218,3 +218,105 @@ class TestInversion:
         u2 = np.asarray(dist.invert_wh(wo, wh))
         bad = (np.abs(u2 - np.asarray(u)) > 0.01).any(axis=-1)
         assert bad.mean() < 0.01, f"{bad.mean():.3%} failed round-trip"
+
+
+class TestFusedPrincipled:
+    """A/B equivalence of the fused principled path against the combinator
+    tree (the chi2-anchored correctness reference). Both are constructed by
+    eval.build_principled_surface; exact same math must come out."""
+
+    def _make_pair(self, rng, n, **overrides):
+        from akari_render_tpu.svm.eval import build_principled_surface
+
+        def arr(lo, hi):
+            return jnp.asarray(rng.uniform(lo, hi, n), jnp.float32)
+
+        def col(lo=0.0, hi=1.0):
+            return jnp.asarray(rng.uniform(lo, hi, (n, 3)), jnp.float32)
+
+        params = dict(
+            color=col(),
+            emission=col(0.0, 2.0),
+            metallic=arr(0, 1),
+            roughness=arr(0.05, 1.0),
+            eta=arr(1.1, 2.0),
+            transmission=arr(0, 1),
+            specular_ior_level=arr(0.1, 0.9),
+            specular_tint=col(0.2, 1.0),
+            coat_weight=arr(0, 1),
+            coat_roughness=arr(0.05, 0.6),
+            coat_ior=arr(1.2, 1.8),
+            coat_tint=col(0.5, 1.0),
+        )
+        params.update(overrides)
+        tree = build_principled_surface(**params, fused=False)
+        fused = build_principled_surface(**params, fused=True)
+        return tree, fused
+
+    def _dirs(self, rng, n):
+        v = rng.normal(size=(n, 3))
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        return jnp.asarray(v, jnp.float32)
+
+    def test_evaluate_matches_tree(self):
+        rng = np.random.default_rng(7)
+        n = 4096
+        tree, fused = self._make_pair(rng, n)
+        wo = self._dirs(rng, n)
+        wi = self._dirs(rng, n)  # full sphere: exercises refl + trans branches
+        f_t, p_t = tree.evaluate(wo, wi)
+        f_f, p_f = fused.evaluate(wo, wi)
+        np.testing.assert_allclose(np.asarray(f_f), np.asarray(f_t), rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_t), rtol=2e-5, atol=2e-6)
+
+    def test_sample_matches_tree(self):
+        rng = np.random.default_rng(11)
+        n = 4096
+        tree, fused = self._make_pair(rng, n)
+        wo = self._dirs(rng, n)
+        u_sel = jnp.asarray(rng.uniform(size=n), jnp.float32)
+        u = jnp.asarray(rng.uniform(size=(n, 2)), jnp.float32)
+        wi_t, v_t = tree.sample_wi(wo, u_sel, u)
+        wi_f, v_f = fused.sample_wi(wo, u_sel, u)
+        v_t, v_f = np.asarray(v_t), np.asarray(v_f)
+        np.testing.assert_array_equal(v_f, v_t)
+        np.testing.assert_allclose(
+            np.asarray(wi_f)[v_t], np.asarray(wi_t)[v_t], rtol=1e-5, atol=1e-6
+        )
+
+    def test_aux_match_tree(self):
+        rng = np.random.default_rng(13)
+        n = 1024
+        tree, fused = self._make_pair(rng, n)
+        wo = self._dirs(rng, n)
+        u_sel = jnp.asarray(rng.uniform(size=n), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(fused.albedo(wo)), np.asarray(tree.albedo(wo)), rtol=2e-5, atol=2e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused.emission(wo)), np.asarray(tree.emission(wo)), rtol=2e-5, atol=2e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused.roughness(wo, u_sel)),
+            np.asarray(tree.roughness(wo, u_sel)),
+            rtol=1e-6,
+        )
+
+    def test_pure_metal_and_pure_glassy_corners(self):
+        """Degenerate parameter corners where mixtures collapse."""
+        rng = np.random.default_rng(17)
+        n = 2048
+        ones = jnp.ones((n,), jnp.float32)
+        zeros = jnp.zeros((n,), jnp.float32)
+        for ov in (
+            dict(metallic=ones, transmission=zeros, coat_weight=zeros),
+            dict(metallic=zeros, transmission=ones, coat_weight=zeros),
+            dict(metallic=zeros, transmission=zeros, coat_weight=ones),
+        ):
+            tree, fused = self._make_pair(rng, n, **ov)
+            wo = self._dirs(rng, n)
+            wi = self._dirs(rng, n)
+            f_t, p_t = tree.evaluate(wo, wi)
+            f_f, p_f = fused.evaluate(wo, wi)
+            np.testing.assert_allclose(np.asarray(f_f), np.asarray(f_t), rtol=2e-5, atol=2e-6)
+            np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_t), rtol=2e-5, atol=2e-6)
