@@ -48,7 +48,8 @@ def main(argv=None):
     )
 
     def progress(p, total, stats):
-        print(f"  pass {p}/{total}  t={stats['time'][-1]:.2f}s", file=sys.stderr)
+        # pt reports samples done / total spp; mcmc/gpt report pass counts
+        print(f"  {p}/{total}  t={stats['time'][-1]:.2f}s", file=sys.stderr)
 
     if task.method_type == "pt":
         from .integrators.pt import render_pt

@@ -57,8 +57,8 @@ def _render_pass_fn(scene: Scene, settings: PTSettings, filt, width, height, spp
         film = add_samples_aligned(film, radiance, fw)
         return film, arrays
 
-    def one_pass(arrays, film: Film, pass_idx):
-        start = pass_idx.astype(jnp.int32) * spp_chunk
+    def one_pass(arrays, film: Film, start_sample):
+        start = start_sample.astype(jnp.int32)
         film, _ = jax.lax.fori_loop(
             start, start + spp_chunk, one_sample, (film, arrays)
         )
@@ -87,41 +87,88 @@ def render_pt(scene: Scene, config: PTConfig, task=None, progress_cb=None,
     # samples per dispatch: amortize device-dispatch latency without
     # blowing up per-pass wall time (the sample loop is fori inside jit)
     spp_chunk = min(config.spp, config.spp_per_pass)
-    n_passes = (config.spp + spp_chunk - 1) // spp_chunk
-    one_pass = _render_pass_fn(
-        scene, settings, filt, width, height, spp_chunk,
-        seed=task.seed if task else 0,
-        sampler_config=task.sampler if task else None,
-    )
+    seed = task.seed if task else 0
+    sampler_config = task.sampler if task else None
+    pass_fns: dict = {}
+
+    def get_pass(chunk):
+        if chunk not in pass_fns:
+            pass_fns[chunk] = _render_pass_fn(
+                scene, settings, filt, width, height, chunk,
+                seed=seed, sampler_config=sampler_config,
+            )
+        return pass_fns[chunk]
 
     from ..stats import RenderStats
 
     render_stats = RenderStats()
     film = Film.new(width, height)
-    start_pass = 0
+    done = 0  # samples accumulated so far (absolute sample index is the
+    # sampler key, so pass chunking is free to vary without bias)
     if checkpoint_path:
         from ..checkpoint import load_checkpoint
 
         ck = load_checkpoint(checkpoint_path)
-        if ck is not None and ck[1].get("kind") == "pt" and ck[1].get("spp_chunk") == spp_chunk:
+        if ck is not None and ck[1].get("kind") == "pt":
             film, meta, _ = ck
-            start_pass = int(meta["passes_done"])
+            done = int(meta.get("samples_done", 0))
     stats = {"time": [], "spp": []}
     t0 = time.time()
-    for p in range(start_pass, n_passes):
-        film = one_pass(scene.arrays, film, jnp.uint32(p))
-        if progress_cb and (p % 16 == 0 or p == n_passes - 1):
+
+    # Adaptive pass sizing (TPU only): the remote-TPU relay kills dispatches
+    # after ~60s, so calibrate per-sample cost with a 1-spp probe and halve
+    # spp_chunk until a pass fits the budget. Reference method configs ship
+    # spp_per_pass=64, which exceeds the watchdog on slow scenes.
+    import os
+
+    from ..scene import _on_tpu
+
+    try:
+        budget = float(os.environ.get("AKR_MAX_PASS_SECONDS", "40"))
+    except ValueError:
+        budget = 40.0  # malformed env: fall back to the default budget
+    if (
+        _on_tpu()
+        and budget > 0
+        and spp_chunk > 1
+        and config.spp - done > 2
+        and os.environ.get("AKR_ADAPTIVE_PASS", "1") != "0"
+    ):
+        probe = get_pass(1)
+        film = probe(scene.arrays, film, jnp.uint32(done))  # compile + run
+        jax.block_until_ready(film)
+        done += 1
+        tp = time.time()
+        film = probe(scene.arrays, film, jnp.uint32(done))
+        jax.block_until_ready(film)
+        done += 1
+        per_spp = time.time() - tp
+        max_chunk = max(1, int(budget / max(per_spp, 1e-6)))
+        remaining = config.spp - done
+        if spp_chunk > max_chunk:
+            # balance chunks over the remaining samples (fewest equal-ish
+            # passes within budget -> usually a single extra compile)
+            n = -(-remaining // max_chunk)
+            spp_chunk = -(-remaining // n)
+
+    pass_no = 0
+    while done < config.spp:
+        chunk = min(spp_chunk, config.spp - done)
+        film = get_pass(chunk)(scene.arrays, film, jnp.uint32(done))
+        done += chunk
+        pass_no += 1
+        last = done >= config.spp
+        if progress_cb and (pass_no % 16 == 0 or last):
             jax.block_until_ready(film)
             stats["time"].append(time.time() - t0)
-            stats["spp"].append((p + 1) * spp_chunk)
-            progress_cb(p + 1, n_passes, stats)
-        if checkpoint_path and checkpoint_every and (p + 1) % checkpoint_every == 0:
+            stats["spp"].append(done)
+            progress_cb(done, config.spp, stats)
+        if checkpoint_path and checkpoint_every and pass_no % checkpoint_every == 0:
             from ..checkpoint import save_checkpoint
 
             jax.block_until_ready(film)
             save_checkpoint(
-                checkpoint_path, film,
-                {"kind": "pt", "passes_done": p + 1, "spp_chunk": spp_chunk},
+                checkpoint_path, film, {"kind": "pt", "samples_done": done}
             )
         if session is not None and session.save_intermediate:
             # per-pass EXR dumps + stats series (pt.rs:1138-1155 protocol)
@@ -130,13 +177,12 @@ def render_pt(scene: Scene, config: PTConfig, task=None, progress_cb=None,
             from ..core.image_io import write_image
 
             jax.block_until_ready(film)
-            spp_done = (p + 1) * spp_chunk
-            ipath = str(Path(session.out_dir) / f"{session.name}-{spp_done}.exr")
+            ipath = str(Path(session.out_dir) / f"{session.name}-{done}.exr")
             write_image(ipath, np.asarray(develop(film, width, height)))
-            render_stats.record(time.time() - t0, spp_done, ipath)
+            render_stats.record(time.time() - t0, done, ipath)
     jax.block_until_ready(film)
     stats["total_time"] = time.time() - t0
-    stats["spp_total"] = n_passes * spp_chunk
+    stats["spp_total"] = done
     if session is not None:
         render_stats.record(stats["total_time"], stats["spp_total"])
         if session.save_stats:

@@ -42,7 +42,7 @@ def main():
 
     film2 = Film.new(res, res)
     t0 = time.time()
-    film2 = one_pass(scene.arrays, film2, jnp.uint32(1))
+    film2 = one_pass(scene.arrays, film2, jnp.uint32(spp))  # fresh sample range
     jax.block_until_ready(film2)
     dt = time.time() - t0
 
