@@ -40,7 +40,8 @@ def _select_by_kind(scene: Scene, si, fn, force_diffuse: bool = False):
 
     The lax.switch-free analog of dispatch_surface (eval.rs:444-466):
     with K kinds all lanes evaluate all K closures and mask-select. K is
-    small after bytecode dedup; revisit with sort-by-kind if K grows.
+    small after bytecode dedup; the hot shade dispatch uses the sorted
+    wavefront path instead (dispatch_shade below).
 
     force_diffuse replaces every material with Lambert 0.8 (the debugging
     mode of pt.rs:268-280)."""
@@ -57,6 +58,154 @@ def _select_by_kind(scene: Scene, si, fn, force_diffuse: bool = False):
         res = fn(closure)
         out = res if out is None else _tree_select(mask, res, out)
     return out
+
+
+# ---- material-sorted wavefront shade dispatch --------------------------------
+# The reference's own unfinished blueprint: KernelWorkQueue count-then-allocate
+# material sorting (crates/akari_integrator/src/wfpt.rs:100-225). TPU-native
+# form: scatter lanes into kind-contiguous regions padded to a chunk multiple,
+# then lax.map over chunks with a real lax.switch per chunk — each chunk is
+# homogeneous in kind, so every lane evaluates exactly ONE closure instead of
+# all K (the masked path pays xK). Cost: one scatter + one gather of the shade
+# inputs/outputs per bounce; win: (K-1)x less shader-graph + BSDF work.
+
+def _sort_dispatch_mode() -> str:
+    import os
+
+    return os.environ.get("AKR_SORT_DISPATCH", "1")
+
+
+def _pick_chunk(n: int, k: int) -> int:
+    """Chunk size: large enough to fill the VPU per switch branch, small
+    enough that the ~K*C/2 expected pad waste stays a minor fraction of n."""
+    import os
+
+    env = os.environ.get("AKR_SORT_CHUNK")
+    if env:
+        return int(env)
+    c = 1 << max(10, (n // (4 * k)).bit_length() - 1)
+    return max(256, min(c, 32768))
+
+
+def dispatch_shade(scene: Scene, si, extra, fn, force_diffuse: bool = False):
+    """Shade dispatch: fn(closure, extra) -> pytree of per-lane outputs.
+
+    extra is a pytree of per-lane arrays fn consumes (wo, sample u's, light
+    sample, ...) — passed explicitly so the sorted path can permute them
+    alongside the interaction. Falls back to masked full-lane evaluation
+    (x K kinds) when sorting cannot win (K == 1, tiny batches, disabled)."""
+    k = len(scene.kinds)
+    n = si["kind"].shape[0]
+    mode = _sort_dispatch_mode()
+    use_sorted = k > 1 and not force_diffuse and (
+        mode == "force" or (mode != "0" and n >= 2048)
+    )
+    if not use_sorted:
+        return _select_by_kind(scene, si, lambda c: fn(c, extra), force_diffuse)
+    return _sorted_kind_dispatch(scene, si, extra, fn)
+
+
+def _pack_f32(tree):
+    """Flatten a pytree of [N]/[N,...] arrays into one [N, D] f32 matrix.
+
+    TPU scatters/gathers pay per-operand; moving the whole shade payload as
+    ONE row-matrix turns the sort into a single scatter + a single gather.
+    Ints are bitcast (exact); bools go through f32 0/1."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    cols, specs = [], []
+    for x in leaves:
+        if x.dtype == jnp.bool_:
+            col, tag = x.astype(jnp.float32), "b"
+        elif jnp.issubdtype(x.dtype, jnp.integer):
+            col, tag = (
+                jax.lax.bitcast_convert_type(x.astype(jnp.int32), jnp.float32),
+                "i",
+            )
+        else:
+            col, tag = x.astype(jnp.float32), "f"
+        shape = x.shape[1:]
+        col = col.reshape(col.shape[0], -1)
+        specs.append((tag, shape, col.shape[1]))
+        cols.append(col)
+    return jnp.concatenate(cols, axis=-1), (treedef, specs)
+
+
+def _unpack_f32(mat, spec):
+    treedef, specs = spec
+    leaves, off = [], 0
+    for tag, shape, width in specs:
+        col = mat[..., off : off + width].reshape(mat.shape[:-1] + shape)
+        if tag == "b":
+            col = col > 0.5
+        elif tag == "i":
+            col = jax.lax.bitcast_convert_type(col, jnp.int32)
+        leaves.append(col)
+        off += width
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def _sorted_kind_dispatch(scene: Scene, si, extra, fn):
+    """Count-then-allocate sort by shader kind + chunked lax.switch eval."""
+    from ..svm.eval import dispatch_closure
+
+    kind = si["kind"]
+    n = kind.shape[0]
+    k = len(scene.kinds)
+    c = _pick_chunk(n, k)
+    nchunks = -(-n // c) + k  # worst case: every kind region pads < one chunk
+    p = nchunks * c
+
+    # count-then-allocate (wfpt.rs CountAndAllocate mode): region offsets from
+    # per-kind counts padded to chunk multiples; lane rank within its kind via
+    # exclusive cumsum of the one-hot kind matrix.
+    oh = jax.nn.one_hot(kind, k, dtype=jnp.int32)
+    counts = jnp.sum(oh, axis=0)
+    rank = jnp.take_along_axis(jnp.cumsum(oh, axis=0) - oh, kind[:, None], 1)[:, 0]
+    padded = ((counts + c - 1) // c) * c
+    ends = jnp.cumsum(padded)
+    offsets = ends - padded
+    pos = offsets[kind] + rank  # unique position in [0, p)
+
+    inp = {
+        "mat": si["mat"],
+        "uv": si["uv"],
+        "p": si["p"],
+        "ng": si["ng"],
+        "frame": si["frame"],
+        "extra": extra,
+    }
+    packed, in_spec = _pack_f32(inp)
+    buf = jnp.zeros((p, packed.shape[1]), jnp.float32).at[pos].set(packed)
+    chunks = buf.reshape(nchunks, c, packed.shape[1])
+    # kind of the region each chunk belongs to; k (= null) past the last region
+    chunk_kind = jnp.searchsorted(ends, jnp.arange(nchunks) * c, side="right")
+
+    out_spec: list = [None]
+
+    def make_branch(ki):
+        def branch(chunk_mat):
+            ch = _unpack_f32(chunk_mat, in_spec)
+            csi = {"mat": ch["mat"], "uv": ch["uv"], "p": ch["p"],
+                   "ng": ch["ng"], "frame": ch["frame"]}
+            ctx = scene.eval_context(csi, ki)
+            closure = dispatch_closure(scene.kinds[ki], ctx, mode="surface")
+            out, spec = _pack_f32(fn(closure, ch["extra"]))
+            out_spec[0] = spec
+            return out
+
+        return branch
+
+    branches = [make_branch(ki) for ki in range(k)]
+    out_sd = jax.eval_shape(branches[0], chunks[0])
+    branches.append(lambda ch: jnp.zeros(out_sd.shape, out_sd.dtype))
+
+    def body(args):
+        ck, ch = args
+        return jax.lax.switch(jnp.minimum(ck, k), branches, ch)
+
+    out_chunks = jax.lax.map(body, (chunk_kind, chunks))
+    out_rows = out_chunks.reshape(p, out_sd.shape[-1])[pos]
+    return _unpack_f32(out_rows, out_spec[0])
 
 
 def _emission_at(scene: Scene, si, wo):
@@ -182,19 +331,26 @@ def trace_paths(
 
         # --- BSDF sample + direct shading in one dispatch (pt.rs:296-323) ---
         sampler, u_bsdf = sampler.next_3d()
+        extra = {"wo": wo, "u_bsdf": u_bsdf}
+        if ls is not None:
+            extra["ls_wi"] = ls.wi
+            extra["ls_li"] = ls.li
+            extra["ls_pdf"] = ls.pdf
 
-        def shade(closure):
+        def shade(closure, ex):
             out = {}
             if ls is not None:
-                f_l, pdf_l = closure.evaluate(wo, ls.wi)
-                w = mis_weight(ls.pdf, pdf_l)
-                out["direct"] = ls.li * f_l * (w / jnp.maximum(ls.pdf, 1e-20))[..., None]
-            s = closure.sample(wo, u_bsdf[..., 0], u_bsdf[..., 1:])
+                f_l, pdf_l = closure.evaluate(ex["wo"], ex["ls_wi"])
+                w = mis_weight(ex["ls_pdf"], pdf_l)
+                out["direct"] = (
+                    ex["ls_li"] * f_l * (w / jnp.maximum(ex["ls_pdf"], 1e-20))[..., None]
+                )
+            s = closure.sample(ex["wo"], ex["u_bsdf"][..., 0], ex["u_bsdf"][..., 1:])
             out["wi"], out["f"], out["pdf"], out["valid"] = s["wi"], s["f"], s["pdf"], s["valid"]
-            out["albedo"] = closure.albedo(wo)
+            out["albedo"] = closure.albedo(ex["wo"])
             return out
 
-        sh = _select_by_kind(scene, si, shade, force_diffuse=settings.force_diffuse)
+        sh = dispatch_shade(scene, si, extra, shade, force_diffuse=settings.force_diffuse)
         st["first_albedo"] = jnp.where(first_mask[..., None], sh["albedo"], st["first_albedo"])
 
         # --- shadow ray + add direct (pt.rs:504-513) ---

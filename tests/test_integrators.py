@@ -90,3 +90,44 @@ def test_screened_poisson_exact_on_consistent_field():
         screened_poisson(jnp.asarray(noisy), jnp.asarray(gx), jnp.asarray(gy), None, iters=100)
     )
     assert ((rec - img) ** 2).mean() < ((noisy - img) ** 2).mean() * 0.5
+
+
+def test_sorted_kind_dispatch_matches_masked():
+    """Material-sorted wavefront shade dispatch (wfpt.rs:100-225 blueprint)
+    must produce the same radiance as the masked x K-kinds path."""
+    import os
+
+    import jax.numpy as jnp
+
+    from akari_render_tpu.camera import generate_rays
+    from akari_render_tpu.core.samplers import IndependentSampler
+    from akari_render_tpu.integrators.common import PTSettings, trace_paths
+
+    scene = load_scene("/root/repo/scenes/matbox/scene.json", width=24, height=24)
+    assert len(scene.kinds) > 1, "matbox must compile to multiple shader kinds"
+    npix = 24 * 24
+    pix = jnp.arange(npix, dtype=jnp.uint32)
+    p_film = (
+        jnp.stack([(pix % 24).astype(jnp.float32), (pix // 24).astype(jnp.float32)], -1)
+        + 0.5
+    )
+    ray_o, ray_d = generate_rays(scene.camera, p_film)
+    settings = PTSettings(max_depth=4, rr_depth=2)
+
+    def run():
+        smp = IndependentSampler.new(pix, seed=7)
+        r, _, _ = trace_paths(scene, settings, ray_o, ray_d, smp)
+        return np.asarray(r)
+
+    old = os.environ.get("AKR_SORT_DISPATCH")
+    try:
+        os.environ["AKR_SORT_DISPATCH"] = "0"
+        masked = run()
+        os.environ["AKR_SORT_DISPATCH"] = "force"
+        sorted_ = run()
+    finally:
+        if old is None:
+            os.environ.pop("AKR_SORT_DISPATCH", None)
+        else:
+            os.environ["AKR_SORT_DISPATCH"] = old
+    np.testing.assert_allclose(sorted_, masked, rtol=2e-4, atol=2e-5)
