@@ -97,12 +97,16 @@ def _entries(cl: ClusterArrays, o, d, inv_d, tmin, tmax):
     return slab(cl.cbmin, cl.cbmax)
 
 
-def _select_topm(cl, o, d, inv_d, tmin, tmax, thresh_e, thresh_id, m):
+def _select_topm(cl, o, d, inv_d, tmin, tmax, thresh_e, thresh_id, m, crange=None):
     """M nearest cluster entries strictly after the lexicographic
     (entry, cluster-id) threshold — id tie-breaking makes the round sweep
     exact even when many cluster AABBs share an entry distance.
 
     Returns (entries [N, M] ascending, ids [N, M]); inf entry = none.
+
+    crange: optional per-lane (lo [N], hi [N]) — only clusters with
+    lo <= id < hi participate (instanced two-level traversal restricts each
+    lane to its instance's mesh cluster range).
 
     Small K (fits one [N, K] matrix): M iterative masked argmin passes —
     measured 1.5x faster than lax.top_k merging on TPU. Large K: streaming
@@ -115,6 +119,8 @@ def _select_topm(cl, o, d, inv_d, tmin, tmax, thresh_e, thresh_id, m):
         after = (e > thresh_e[:, None]) | (
             (e == thresh_e[:, None]) & (ids_row > thresh_id[:, None])
         )
+        if crange is not None:
+            after = after & (ids_row >= crange[0][:, None]) & (ids_row < crange[1][:, None])
         e = jnp.where(after, e, jnp.inf)
         sel_e, sel_i = [], []
         taken = jnp.zeros_like(e, bool)
@@ -139,6 +145,8 @@ def _select_topm(cl, o, d, inv_d, tmin, tmax, thresh_e, thresh_id, m):
         after = (e > thresh_e[:, None]) | (
             (e == thresh_e[:, None]) & (ids > thresh_id[:, None])
         )
+        if crange is not None:
+            after = after & (ids >= crange[0][:, None]) & (ids < crange[1][:, None])
         e = jnp.where(after, e, jnp.inf)
         cat_e = jnp.concatenate([best_e, e], axis=1)
         cat_i = jnp.concatenate([best_i, ids], axis=1)
@@ -151,7 +159,7 @@ def _select_topm(cl, o, d, inv_d, tmin, tmax, thresh_e, thresh_id, m):
 
 
 def _test_cluster(cl, cid, o, d, tmin, t_best, tri_best, u_best, v_best,
-                  ex0, ex1, any_hit, occluded):
+                  excludes, any_hit, occluded):
     """MT-test the C triangles of per-ray cluster cid ([N] ids, -1 = skip)."""
     safe = jnp.maximum(cid, 0)
     rows = cl.tri[safe]  # [N, C, 12] row gather
@@ -180,10 +188,9 @@ def _test_cluster(cl, cid, o, d, tmin, t_best, tri_best, u_best, v_best,
         & (t < t_best[:, None])
         & (tri_id >= 0)
     )
-    if ex0 is not None:
-        hit = hit & (tri_id != ex0[:, None])
-    if ex1 is not None:
-        hit = hit & (tri_id != ex1[:, None])
+    for ex in excludes:
+        if ex is not None:
+            hit = hit & (tri_id != ex[:, None])
     if any_hit:
         return t_best, tri_best, u_best, v_best, occluded | jnp.any(hit, -1)
     t_m = jnp.where(hit, t, jnp.inf)
@@ -201,8 +208,14 @@ def _test_cluster(cl, cid, o, d, tmin, t_best, tri_best, u_best, v_best,
 
 
 def intersect_clusters(cl: ClusterArrays, o, d, tmin, tmax,
-                       exclude0=None, exclude1=None, any_hit=False):
-    """Exact closest-hit (or any-hit) through the cluster structure."""
+                       exclude0=None, exclude1=None, exclude2=None, any_hit=False,
+                       crange=None, raw=False):
+    """Exact closest-hit (or any-hit) through the cluster structure.
+
+    crange: per-lane (lo, hi) cluster-id range restriction (see _select_topm).
+    raw: return the (t, tri, u, v, occ) carry instead of a Hit — used by the
+    instanced two-level traversal, whose tri ids are LOCAL and need remapping.
+    """
     n = o.shape[0]
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
     t_best0 = jnp.minimum(jnp.full((n,), RAY_TMAX), tmax)
@@ -214,7 +227,8 @@ def intersect_clusters(cl: ClusterArrays, o, d, tmin, tmax,
     def round_body(carry):
         thresh_e, thresh_id, t_best, tri, u, v, occ, live = carry
         entries, ids = _select_topm(
-            cl, o, d, inv_d, tmin, t_best, thresh_e, thresh_id, SELECT_M
+            cl, o, d, inv_d, tmin, t_best, thresh_e, thresh_id, SELECT_M,
+            crange=crange,
         )
         for m in range(SELECT_M):
             useful = live & jnp.isfinite(entries[:, m]) & (entries[:, m] <= t_best)
@@ -223,7 +237,7 @@ def intersect_clusters(cl: ClusterArrays, o, d, tmin, tmax,
             cid = jnp.where(useful, ids[:, m], -1)
             t_best, tri, u, v, occ = _test_cluster(
                 cl, cid, o, d, tmin, t_best, tri, u, v,
-                exclude0, exclude1, any_hit, occ,
+                (exclude0, exclude1, exclude2), any_hit, occ,
             )
         # a ray stays live if its M-th selected entry was still closer than
         # its current best hit (more clusters may remain beyond it)
@@ -249,6 +263,8 @@ def intersect_clusters(cl: ClusterArrays, o, d, tmin, tmax,
     thresh_e, thresh_id, t_best, tri, u, v, occ, live = jax.lax.while_loop(
         round_cond, round_body, carry
     )
+    if raw:
+        return t_best, tri, u, v, occ
     if any_hit:
         return occ
     from .trace import Hit

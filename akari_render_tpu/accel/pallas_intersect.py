@@ -35,6 +35,7 @@ def _kernel(tri_ref, o_ref, d_ref, lim_ref, ex_ref, out_ref, *, num_tris, any_hi
     tmin = lim_ref[0, :]
     ex0 = ex_ref[0, :]
     ex1 = ex_ref[1, :]
+    ex2 = ex_ref[2, :]
 
     chunk = pl.program_id(1) if num_tris > TRI_CHUNK else 0
     base = (chunk * TRI_CHUNK).astype(jnp.float32) if num_tris > TRI_CHUNK else 0.0
@@ -81,6 +82,7 @@ def _kernel(tri_ref, o_ref, d_ref, lim_ref, ex_ref, out_ref, *, num_tris, any_hi
             & (t < best_t)
             & (gid != ex0)
             & (gid != ex1)
+            & (gid != ex2)
         )
         if any_hit:
             best_id = jnp.where(hit, gid, best_id)
@@ -119,7 +121,7 @@ def _run(tri, o_soa, d_soa, lim, ex, num_tris, any_hit, interpret=False):
             pl.BlockSpec((3, BLOCK), ray_ix, memory_space=pltpu.VMEM),
             pl.BlockSpec((3, BLOCK), ray_ix, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, BLOCK), ray_ix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, BLOCK), ray_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BLOCK), ray_ix, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((4, BLOCK), ray_ix, memory_space=pltpu.VMEM),
         interpret=interpret,
@@ -127,7 +129,7 @@ def _run(tri, o_soa, d_soa, lim, ex, num_tris, any_hit, interpret=False):
 
 
 def intersect_pallas(tri_packed, o, d, tmin, tmax, exclude0=None, exclude1=None,
-                     any_hit=False, interpret=False):
+                     exclude2=None, any_hit=False, interpret=False):
     """tri_packed: [T, 12] (v0|e1|e2|pad) f32; o/d: [N, 3]. Returns Hit / occluded.
 
     N is padded to BLOCK internally.
@@ -144,9 +146,10 @@ def intersect_pallas(tri_packed, o, d, tmin, tmax, exclude0=None, exclude1=None,
     o_soa = jnp.pad(o.T, ((0, 0), (0, pad)))
     d_soa = jnp.pad(d.T, ((0, 0), (0, pad)), constant_values=1.0)
     lim = jnp.stack([pad1(tmin), pad1(tmax, fill=-1.0)], axis=0)
-    ex0 = pad1(exclude0.astype(jnp.float32), -1.0) if exclude0 is not None else jnp.full((n_pad,), -1.0)
-    ex1 = pad1(exclude1.astype(jnp.float32), -1.0) if exclude1 is not None else jnp.full((n_pad,), -1.0)
-    ex = jnp.stack([ex0, ex1], axis=0)
+    def pad_ex(e):
+        return pad1(e.astype(jnp.float32), -1.0) if e is not None else jnp.full((n_pad,), -1.0)
+
+    ex = jnp.stack([pad_ex(exclude0), pad_ex(exclude1), pad_ex(exclude2)], axis=0)
     out = _run(tri_packed, o_soa, d_soa, lim, ex, int(tri_packed.shape[0]), any_hit, interpret)
     t = out[0, :n]
     tri_id = out[1, :n].astype(jnp.int32)

@@ -33,7 +33,7 @@ class Hit(NamedTuple):
 _CHUNK_T = 512  # triangles per chunk: bounds [chunk, N] temporaries
 
 
-def _chunk_hits(o, d, tmin, tmax, v0, e1, e2, exclude0, exclude1, tri_base):
+def _chunk_hits(o, d, tmin, tmax, v0, e1, e2, excludes, tri_base):
     """Möller-Trumbore, all rays x one triangle chunk.
 
     o, d: [N, 3]; v0/e1/e2: [T, 3]. Returns (t, u, v, hit) each [T, N].
@@ -71,15 +71,14 @@ def _chunk_hits(o, d, tmin, tmax, v0, e1, e2, exclude0, exclude1, tri_base):
     )
     n_chunk = v0.shape[0]
     tri_ids = tri_base + jnp.arange(n_chunk, dtype=jnp.int32)[:, None]
-    if exclude0 is not None:
-        hit = hit & (tri_ids != exclude0)
-    if exclude1 is not None:
-        hit = hit & (tri_ids != exclude1)
+    for ex in excludes:
+        if ex is not None:
+            hit = hit & (tri_ids != ex)
     return t, u, v, hit
 
 
 def intersect_brute_force(
-    o, d, tmin, tmax, v0, e1, e2, exclude0=None, exclude1=None
+    o, d, tmin, tmax, v0, e1, e2, exclude0=None, exclude1=None, exclude2=None
 ) -> Hit:
     """Closest-hit over the full triangle soup (chunked over T)."""
     n = o.shape[0]
@@ -88,14 +87,13 @@ def intersect_brute_force(
     best_id = jnp.full((n,), -1, jnp.int32)
     best_u = jnp.zeros((n,), jnp.float32)
     best_v = jnp.zeros((n,), jnp.float32)
-    ex0 = exclude0[None, :] if exclude0 is not None else None
-    ex1 = exclude1[None, :] if exclude1 is not None else None
+    exs = [e[None, :] if e is not None else None for e in (exclude0, exclude1, exclude2)]
 
     for start in range(0, num_tris, _CHUNK_T):
         end = min(start + _CHUNK_T, num_tris)
         t, u, v, hit = _chunk_hits(
             o, d, tmin, best_t, v0[start:end], e1[start:end], e2[start:end],
-            ex0, ex1, jnp.int32(start),
+            exs, jnp.int32(start),
         )
         t_m = jnp.where(hit, t, RAY_TMAX)
         am = jnp.argmin(t_m, axis=0)  # [N]
@@ -118,18 +116,18 @@ def intersect_brute_force(
     )
 
 
-def occlude_brute_force(o, d, tmin, tmax, v0, e1, e2, exclude0=None, exclude1=None):
+def occlude_brute_force(o, d, tmin, tmax, v0, e1, e2, exclude0=None, exclude1=None,
+                        exclude2=None):
     """Any-hit: returns bool [N] (True = occluded)."""
     n = o.shape[0]
     num_tris = v0.shape[0]
     occluded = jnp.zeros((n,), bool)
-    ex0 = exclude0[None, :] if exclude0 is not None else None
-    ex1 = exclude1[None, :] if exclude1 is not None else None
+    exs = [e[None, :] if e is not None else None for e in (exclude0, exclude1, exclude2)]
     for start in range(0, num_tris, _CHUNK_T):
         end = min(start + _CHUNK_T, num_tris)
         _, _, _, hit = _chunk_hits(
             o, d, tmin, tmax, v0[start:end], e1[start:end], e2[start:end],
-            ex0, ex1, jnp.int32(start),
+            exs, jnp.int32(start),
         )
         occluded = occluded | jnp.any(hit, axis=0)
     return occluded

@@ -51,22 +51,23 @@ def main(argv=None):
         # pt reports samples done / total spp; mcmc/gpt report pass counts
         print(f"  {p}/{total}  t={stats['time'][-1]:.2f}s", file=sys.stderr)
 
+    from .stats import RenderSession
+
+    out_p = Path(args.output or task.out_path)
+    session = RenderSession(
+        name=out_p.stem,
+        save_intermediate=args.save_intermediate,
+        save_stats=args.save_stats,
+        out_dir=str(out_p.parent),
+    )
+    progress_cb = progress if args.verbose else None
+
     if task.method_type == "pt":
         from .integrators.pt import render_pt
 
-        from .stats import RenderSession
-        from pathlib import Path as _P
-
-        out_p = _P(args.output or task.out_path)
-        session = RenderSession(
-            name=out_p.stem,
-            save_intermediate=args.save_intermediate,
-            save_stats=args.save_stats,
-            out_dir=str(out_p.parent),
-        )
         img, stats = render_pt(
             scene, task.method, task,
-            progress_cb=progress if args.verbose else None,
+            progress_cb=progress_cb,
             checkpoint_path=args.checkpoint,
             checkpoint_every=args.checkpoint_every,
             session=session,
@@ -74,11 +75,15 @@ def main(argv=None):
     elif task.method_type in ("mcmc", "mcmc_opt"):
         from .integrators.mcmc import render_mcmc
 
-        img, stats = render_mcmc(scene, task.method, task)
+        img, stats = render_mcmc(
+            scene, task.method, task, progress_cb=progress_cb, session=session
+        )
     elif task.method_type == "gpt":
         from .integrators.gpt import render_gpt
 
-        img, stats = render_gpt(scene, task.method, task)
+        img, stats = render_gpt(
+            scene, task.method, task, progress_cb=progress_cb, session=session
+        )
     elif task.method_type == "aov":
         from .integrators.aov import render_aov
 
@@ -96,7 +101,11 @@ def main(argv=None):
     print(f"wrote {out}  ({stats.get('total_time', 0.0):.2f}s render)", file=sys.stderr)
     if args.save_stats:
         stats_path = Path(out).with_suffix(".stats.json")
-        stats_path.write_text(json.dumps(stats, default=float))
+        scalars = {
+            k: v for k, v in stats.items()
+            if not hasattr(v, "shape") or getattr(v, "ndim", 0) <= 1
+        }
+        stats_path.write_text(json.dumps(scalars, default=float))
         print(f"wrote {stats_path}", file=sys.stderr)
 
 

@@ -54,7 +54,7 @@ def _reflect_offset(pix, off, width, height):
 
 
 def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None,
-               shift_mode: str = "reconnect"):
+               shift_mode: str = "reconnect", session=None):
     t0 = time.time()
     width, height = scene.camera.width, scene.camera.height
     npix = width * height
@@ -65,12 +65,16 @@ def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None,
     D = sample_dimension(config.max_depth)
     seed = task.seed if task else 0
 
-    def one_pass(arrays, films, sample_idx):
+    def one_pass(arrays, films, sample_idx, pix_base, *, chunk):
+        """Trace `chunk` pixels starting at linear pixel `base` for one
+        sample. Each pixel's PSS stream depends only on (pix_lin, sample), so
+        chunking the frame across dispatches is bias-free and lets the host
+        keep every dispatch under the TPU relay watchdog."""
         from dataclasses import replace
 
         sc = replace(scene, arrays=arrays)
         primal, gx, gy, primal_sq, gx_sq, gy_sq = films
-        pix_lin = jnp.arange(npix, dtype=jnp.uint32)
+        pix_lin = pix_base + jnp.arange(chunk, dtype=jnp.uint32)
         pix = jnp.stack(
             [(pix_lin % width).astype(jnp.int32), (pix_lin // width).astype(jnp.int32)], -1
         )
@@ -86,7 +90,7 @@ def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None,
             from .gpt_reconnect import trace_base_record
             from .mcmc import ReplaySampler
 
-            sampler = ReplaySampler(pss, jnp.zeros(npix, jnp.int32), rng)
+            sampler = ReplaySampler(pss, jnp.zeros(chunk, jnp.int32), rng)
             sampler, u_film = sampler.next_2d()
             off, fw = filt.sample(u_film)
             p_film = pix.astype(jnp.float32) + 0.5 + off
@@ -101,7 +105,7 @@ def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None,
         else:
             rec = None
             p_film, base, rng = _eval_from_pixel(sc, settings, filt, pix, pss, rng)
-        w1 = jnp.ones(npix)
+        w1 = jnp.ones(chunk)
         primal = add_samples(primal, p_film, base, w1, width, height)
         primal_sq = add_samples(primal_sq, p_film, base * base, w1, width, height)
 
@@ -115,7 +119,7 @@ def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None,
                 from .gpt_reconnect import trace_shift_reconnect
                 from .mcmc import ReplaySampler
 
-                sampler = ReplaySampler(pss, jnp.zeros(npix, jnp.int32), rng)
+                sampler = ReplaySampler(pss, jnp.zeros(chunk, jnp.int32), rng)
                 sampler, u_film = sampler.next_2d()
                 soff, sfw = filt.sample(u_film)
                 sp_film = spix.astype(jnp.float32) + 0.5 + soff
@@ -132,7 +136,7 @@ def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None,
             else:
                 _, shifted, rng = _eval_from_pixel(sc, settings, filt, spix, pss, rng)
                 # PSS replay shift has jacobian 1 -> 1/(1+J) = 1/2
-                w = jnp.full(npix, 0.5)
+                w = jnp.full(chunk, 0.5)
             # forward differences: G[p] = I[p + e] - I[p], stored at the
             # lower-index pixel of the pair
             grad = (shifted - base) if positive else (base - shifted)
@@ -148,10 +152,85 @@ def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None,
                 gy, gy_sq = target, tsq
         return (primal, gx, gy, primal_sq, gx_sq, gy_sq)
 
-    one_pass = jax.jit(one_pass)
+    import functools
+    import os
+
+    pass_fns: dict = {}
+
+    def get_pass(c):
+        if c not in pass_fns:
+            pass_fns[c] = jax.jit(
+                functools.partial(one_pass, chunk=c), donate_argnums=(1,)
+            )
+        return pass_fns[c]
+
     films = tuple(Film.new(width, height) for _ in range(6))
+
+    # Adaptive pixel chunking (same watchdog logic as render_pt): a GPT
+    # sample costs ~6 full path traces per pixel, so large frames can blow
+    # the ~60s TPU dispatch limit. Probe a 32-row slice of sample 0 and size
+    # row chunks to AKR_MAX_PASS_SECONDS. Chunking is bias-free (per-pixel
+    # PSS streams are keyed by pixel index + sample only).
+    from ..scene import _on_tpu
+
+    try:
+        budget = float(os.environ.get("AKR_MAX_PASS_SECONDS", "40"))
+    except ValueError:
+        budget = 40.0
+    chunk = npix
+    base0 = 0
+    if (
+        _on_tpu()
+        and budget > 0
+        and height > 64
+        and os.environ.get("AKR_ADAPTIVE_PASS", "1") != "0"
+    ):
+        pc = 32 * width
+        probe = get_pass(pc)
+        films = probe(scene.arrays, films, jnp.uint32(0), jnp.uint32(0))
+        jax.block_until_ready(films)
+        tp = time.time()
+        films = probe(scene.arrays, films, jnp.uint32(0), jnp.uint32(pc))
+        jax.block_until_ready(films)
+        per_row = (time.time() - tp) / 32.0
+        max_rows = max(1, int(budget / max(per_row, 1e-9)))
+        if max_rows < height:
+            n = -(-height // max_rows)
+            chunk = -(-height // n) * width
+        base0 = 2 * pc
+
+    from ..stats import RenderStats
+
+    render_stats = RenderStats()
+    stats_series = {"time": [], "spp": []}
+
+    def _recon_current(films):
+        p = develop(films[0], width, height)
+        return screened_poisson(
+            p, develop(films[1], width, height), develop(films[2], width, height),
+            None, iters=config.reconstruction_iter,
+        )
+
     for s in range(config.spp):
-        films = one_pass(scene.arrays, films, jnp.uint32(s))
+        base = base0 if s == 0 else 0
+        while base < npix:
+            c = min(chunk, npix - base)
+            films = get_pass(c)(scene.arrays, films, jnp.uint32(s), jnp.uint32(base))
+            base += c
+        if progress_cb:
+            jax.block_until_ready(films)
+            stats_series["time"].append(time.time() - t0)
+            stats_series["spp"].append(s + 1)
+            progress_cb(s + 1, config.spp, stats_series)
+        if session is not None and session.save_intermediate:
+            from pathlib import Path
+
+            from ..core.image_io import write_image
+
+            jax.block_until_ready(films)
+            ipath = str(Path(session.out_dir) / f"{session.name}-{s + 1}.exr")
+            write_image(ipath, np.asarray(_recon_current(films)))
+            render_stats.record(time.time() - t0, s + 1, ipath)
     jax.block_until_ready(films)
 
     primal = develop(films[0], width, height)
@@ -178,6 +257,22 @@ def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None,
         "gx": np.asarray(gx),
         "gy": np.asarray(gy),
     }
+    if session is not None:
+        render_stats.record(stats["total_time"], config.spp)
+        if session.save_stats:
+            render_stats.write(session)
+        if session.save_intermediate:
+            # the reference dumps the raw gradient-domain films too
+            # (gpt.rs:614-637: gpt_primal / gpt_gx / gpt_gy EXRs)
+            from pathlib import Path
+
+            from ..core.image_io import write_image
+
+            for tag, im in (("primal", primal), ("gx", gx), ("gy", gy)):
+                write_image(
+                    str(Path(session.out_dir) / f"{session.name}_{tag}.exr"),
+                    np.asarray(im),
+                )
     return img, stats
 
 

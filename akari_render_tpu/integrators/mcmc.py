@@ -105,28 +105,29 @@ def _evaluate(scene: Scene, settings: PTSettings, filt, pss, fallback_rng):
     return p_film, radiance, f, sampler.rng
 
 
-def render_mcmc(scene: Scene, config: MCMCConfig, task=None, progress_cb=None):
-    t_start = time.time()
-    width, height = scene.camera.width, scene.camera.height
-    npixels = width * height
-    filt = filter_from_config(task.filter_config if task else None)
+def _mcmc_settings(config: MCMCConfig):
     mcmc_depth = config.mcmc_depth if config.mcmc_depth is not None else config.max_depth
     indirect_only = config.direct_spp >= 0
-    settings = PTSettings(
-        max_depth=config.max_depth,
-        rr_depth=config.rr_depth,
-        use_nee=config.use_nee,
-        indirect_only=indirect_only,
+    return (
+        PTSettings(
+            max_depth=config.max_depth,
+            rr_depth=config.rr_depth,
+            use_nee=config.use_nee,
+            indirect_only=indirect_only,
+        ),
+        sample_dimension(mcmc_depth),
     )
-    D = sample_dimension(mcmc_depth)
-    C = config.n_chains
-    seed = task.seed if task else 0
 
-    # ---- bootstrap (mcmc_opt.rs:309-408) ----
+
+def bootstrap_chains(scene: Scene, settings, filt, config: MCMCConfig, D: int,
+                     C: int, seed: int):
+    """Bootstrap + CPU resample + initial chain states (mcmc_opt.rs:309-408).
+    Returns (pss [C,D], cur_p, cur_color, cur_f, b_init, nb)."""
     nb = config.n_bootstrap
     boot_eval = jax.jit(
         lambda pss, rng: _evaluate(scene, settings, filt, pss, rng)[2]
     )
+
     # generate bootstrap PSS vectors deterministically from their index
     def boot_pss(idx):
         rng = Pcg32.new_seq(U64(jnp.full_like(idx, seed ^ 0xB00), idx))
@@ -150,13 +151,19 @@ def render_mcmc(scene: Scene, config: MCMCConfig, task=None, progress_cb=None):
     host_rng = np.random.default_rng(seed)
     chain_idx = resample_with_f64(fs, host_rng.uniform(size=C))
     pss = make_pss(jnp.asarray(chain_idx.astype(np.uint32)))
-    rng0 = IndependentSampler.new(jnp.asarray(chain_idx.astype(np.uint32)), seed=seed ^ 0xF00).rng
+    rng0 = IndependentSampler.new(
+        jnp.asarray(chain_idx.astype(np.uint32)), seed=seed ^ 0xF00
+    ).rng
     cur_p, cur_color, cur_f, _ = jax.jit(
         lambda p, r: _evaluate(scene, settings, filt, p, r)
     )(pss, rng0)
+    return pss, cur_p, cur_color, cur_f, b_init, nb
 
-    # ---- chain advance (mcmc_opt.rs:409-560) ----
-    chain_rng = IndependentSampler.new(jnp.arange(C, dtype=jnp.uint32), seed=seed ^ 0xC4A1).rng
+
+def make_mutate_step(scene: Scene, settings, filt, config: MCMCConfig, D: int):
+    """One Kelemen mutation + expected-value splat step over a carry of
+    chain state (mcmc_opt.rs:409-560), reusable by the sharded path."""
+    width, height = scene.camera.width, scene.camera.height
 
     def mutate_step(i, carry):
         (pss, cur_p, cur_color, cur_f, rng, film, b, b_cnt, n_acc, n_mut) = carry
@@ -226,6 +233,27 @@ def render_mcmc(scene: Scene, config: MCMCConfig, task=None, progress_cb=None):
         n_mut = n_mut + (~is_large).sum()
         return (pss, cur_p, cur_color, cur_f, rng, film, b, b_cnt, n_acc, n_mut)
 
+    return mutate_step
+
+
+def render_mcmc(scene: Scene, config: MCMCConfig, task=None, progress_cb=None,
+                session=None):
+    t_start = time.time()
+    width, height = scene.camera.width, scene.camera.height
+    npixels = width * height
+    filt = filter_from_config(task.filter_config if task else None)
+    settings, D = _mcmc_settings(config)
+    C = config.n_chains
+    seed = task.seed if task else 0
+
+    pss, cur_p, cur_color, cur_f, b_init, nb = bootstrap_chains(
+        scene, settings, filt, config, D, C, seed
+    )
+    chain_rng = IndependentSampler.new(
+        jnp.arange(C, dtype=jnp.uint32), seed=seed ^ 0xC4A1
+    ).rng
+    mutate_step = make_mutate_step(scene, settings, filt, config, D)
+
     @jax.jit
     def advance(carry, n_steps):
         return jax.lax.fori_loop(0, n_steps, mutate_step, carry)
@@ -241,16 +269,76 @@ def render_mcmc(scene: Scene, config: MCMCConfig, task=None, progress_cb=None):
     mutations_per_chain = max(1, total_mutations // C)
     per_dispatch = max(1, (npixels * config.spp_per_pass) // C)
     done = 0
+
+    # Adaptive dispatch sizing (same watchdog logic as render_pt): calibrate
+    # per-mutation-step cost with 1-step probes, cap steps-per-dispatch so no
+    # device dispatch exceeds AKR_MAX_PASS_SECONDS (~60s TPU relay watchdog).
+    import os
+
+    from ..scene import _on_tpu
+
+    try:
+        budget = float(os.environ.get("AKR_MAX_PASS_SECONDS", "40"))
+    except ValueError:
+        budget = 40.0
+    if (
+        _on_tpu()
+        and budget > 0
+        and per_dispatch > 1
+        and mutations_per_chain > 2
+        and os.environ.get("AKR_ADAPTIVE_PASS", "1") != "0"
+    ):
+        carry = advance(carry, jnp.int32(1))  # compile + run
+        jax.block_until_ready(carry)
+        tp = time.time()
+        carry = advance(carry, jnp.int32(1))
+        jax.block_until_ready(carry)
+        done += 2
+        per_step = time.time() - tp
+        per_dispatch = max(1, min(per_dispatch, int(budget / max(per_step, 1e-6))))
+
+    from ..stats import RenderStats
+
+    render_stats = RenderStats()
+    stats_series = {"time": [], "spp": []}
+    pass_no = 0
+
+    def _current_estimate(carry):
+        """Develop the film under the CURRENT normalization estimate."""
+        film_c, b_c, b_cnt_c = carry[5], carry[6], carry[7]
+        b_est = (b_init * nb + float(b_c)) / (nb + int(b_cnt_c))
+        spp_so_far = max(done, 1) * C / npixels
+        return np.asarray(
+            develop(film_c, width, height, splat_scale=b_est / spp_so_far)
+        )
+
     while done < mutations_per_chain:
         step = min(per_dispatch, mutations_per_chain - done)
         carry = advance(carry, jnp.int32(step))
         done += step
+        pass_no += 1
+        last = done >= mutations_per_chain
+        if progress_cb and (pass_no % 4 == 0 or last):
+            jax.block_until_ready(carry)
+            stats_series["time"].append(time.time() - t_start)
+            stats_series["spp"].append(done * C / npixels)
+            progress_cb(done, mutations_per_chain, stats_series)
+        if session is not None and session.save_intermediate:
+            from pathlib import Path
+
+            from ..core.image_io import write_image
+
+            jax.block_until_ready(carry)
+            eff = done * C / npixels
+            ipath = str(Path(session.out_dir) / f"{session.name}-{pass_no}.exr")
+            write_image(ipath, _current_estimate(carry))
+            render_stats.record(time.time() - t_start, eff, ipath)
     jax.block_until_ready(carry)
     (pss, cur_p, cur_color, cur_f, chain_rng, film, b, b_cnt, n_acc, n_mut) = carry
 
     # ---- reconstruct (mcmc_opt.rs:600-622) ----
     b_total = (b_init * nb + float(b)) / (nb + int(b_cnt))
-    eff_spp = mutations_per_chain * C / npixels
+    eff_spp = done * C / npixels
     splat_scale = b_total / eff_spp
     accept_rate = float(n_acc) / max(1, int(n_mut))
 
@@ -261,6 +349,10 @@ def render_mcmc(scene: Scene, config: MCMCConfig, task=None, progress_cb=None):
         "acceptance": accept_rate,
         "spp_total": eff_spp,
     }
+    if session is not None:
+        render_stats.record(stats["total_time"], eff_spp)
+        if session.save_stats:
+            render_stats.write(session)
 
     # ---- separate direct pass (mcmc_opt.rs:705-729) ----
     if config.direct_spp > 0:

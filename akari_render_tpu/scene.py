@@ -35,13 +35,14 @@ class SceneArrays(NamedTuple):
     area: jnp.ndarray
     ns: jnp.ndarray  # [T, 3, 3]
     uv: jnp.ndarray  # [T, 3, 2]
+    tangent: jnp.ndarray  # [T, 3, 3] per-corner stored tangents (0 = dpdu)
     inst_id: jnp.ndarray
     # material binding
     shader_kind: jnp.ndarray  # [T] int32
     tri_mat: jnp.ndarray  # [T] int32 global material index
     param_mats: tuple  # per-kind [num_materials, kind_width] constant matrices
     # packed per-triangle attribute matrix for one-hot fetch (small scenes):
-    # [T, 34] = v0 e1 e2 ng area ns(9) uv(6) kind mat light_id prim_pdf
+    # [T, 41] = v0 e1 e2 ng area ns(9) uv(6) tangent(9) kind mat light_id prim_pdf
     attr: jnp.ndarray
     # acceleration structure: None for small scenes (brute force wins),
     # else dict(bvh=BvhArrays, v0/e1/e2=triangles in BVH order)
@@ -52,6 +53,9 @@ class SceneArrays(NamedTuple):
     const_emission: jnp.ndarray | None
     # lights
     lights: LightArrays
+    # two-level instanced accel for repeated non-emissive geometry
+    # (accel/instanced.py, ref mesh.rs:288-333 BLAS/TLAS), or None
+    instanced: object = None
 
 
 @dataclass
@@ -65,6 +69,9 @@ class Scene:
     material_names: list[str]
     num_tris: int
     has_alpha: bool = False
+    # per-kind "can this kind's alpha be < 1" verdict from the static
+    # bytecode scan (None = unknown, evaluate all kinds)
+    kind_alpha: list[bool] | None = None
 
     # max triangle count for the one-hot-matmul attribute fetch; beyond this
     # the [N, T] one-hot outweighs gathers (BVH scenes use the gather path)
@@ -79,30 +86,83 @@ class Scene:
     PALLAS_MAX_TRIS = 16384
     BVH_MIN_TRIS = 32768
 
-    def intersect(self, o, d, tmin, tmax, exclude0=None, exclude1=None):
+    def intersect(self, o, d, tmin, tmax, exclude0=None, exclude1=None, exclude2=None):
         """Closest-hit through whichever accel the scene carries
-        (the rtx::Accel::intersect analog, scene.rs:111-153)."""
+        (the rtx::Accel::intersect analog, scene.rs:111-153). Scenes with an
+        instanced part min-combine the flat-soup hit with the two-level hit."""
+        hit = self._intersect_flat(o, d, tmin, tmax, exclude0, exclude1, exclude2)
+        if self.arrays.instanced is None:
+            return hit
+        import jax
+
+        from .accel.instanced import intersect_instanced
+
+        hit_i = intersect_instanced(
+            self.arrays.instanced, o, d, tmin, jnp.minimum(tmax, hit.t),
+            exclude0, exclude1, exclude2,
+        )
+        better = hit_i.valid & (hit_i.t < hit.t)
+        return jax.tree_util.tree_map(
+            lambda a_, b_: jnp.where(
+                better.reshape(better.shape + (1,) * (a_.ndim - 1)), b_, a_
+            ),
+            hit,
+            hit_i,
+        )
+
+    def _intersect_flat(self, o, d, tmin, tmax, exclude0=None, exclude1=None,
+                        exclude2=None):
         a = self.arrays
+        if self.num_tris == 0:
+            from .accel.trace import Hit
+
+            n = o.shape[0]
+            from .core.math import RAY_TMAX
+
+            return Hit(
+                t=jnp.full((n,), RAY_TMAX),
+                tri_id=jnp.full((n,), -1, jnp.int32),
+                bary=jnp.zeros((n, 2)),
+                valid=jnp.zeros((n,), bool),
+            )
         if a.bvh is None:
             if _on_tpu() and self.num_tris <= self.PALLAS_MAX_TRIS:
                 from .accel.pallas_intersect import intersect_pallas, pack_tris
 
                 tri = pack_tris(a.v0, a.e1, a.e2)
-                return intersect_pallas(tri, o, d, tmin, tmax, exclude0, exclude1)
+                return intersect_pallas(
+                    tri, o, d, tmin, tmax, exclude0, exclude1, exclude2
+                )
             from .accel.trace import intersect_brute_force
 
             return intersect_brute_force(
-                o, d, tmin, tmax, a.v0, a.e1, a.e2, exclude0, exclude1
+                o, d, tmin, tmax, a.v0, a.e1, a.e2, exclude0, exclude1, exclude2
             )
         from .accel.cluster import intersect_clusters
 
         return intersect_clusters(
-            a.bvh["clusters"], o, d, tmin, tmax, exclude0, exclude1, any_hit=False
+            a.bvh["clusters"], o, d, tmin, tmax, exclude0, exclude1, exclude2,
+            any_hit=False,
         )
 
     # ---- stochastic alpha-tested traversal (scene.rs:42-110) ----
     MAX_ALPHA_RESTARTS = 4
 
+
+    def _alpha_at(self, si, n):
+        """Per-lane alpha at an interaction; only kinds whose static scan says
+        they CAN have alpha (image-textured base color) are evaluated —
+        provably-opaque kinds contribute alpha = 1 for free."""
+        from .svm.eval import dispatch_closure
+
+        alpha = jnp.ones(n)
+        for k, kind in enumerate(self.kinds):
+            if self.kind_alpha is not None and not self.kind_alpha[k]:
+                continue
+            ctx = self.eval_context(si, k)
+            a_k = dispatch_closure(kind, ctx, mode="alpha").alpha()
+            alpha = jnp.where(si["kind"] == k, a_k, alpha)
+        return alpha
 
     def intersect_alpha(self, o, d, tmin, tmax, exclude0=None, exclude1=None):
         """Closest-hit with stochastic alpha testing: candidates whose alpha
@@ -110,32 +170,44 @@ class Scene:
         traversal restart instead of in-traversal callbacks). The accept
         decision hashes (tri, bary) exactly like the reference's
         hash-as-rng commit (scene.rs:49-86), so it is deterministic.
+
+        The caller's exclusion ids stay active across every restart (the
+        rejected candidate rides the third exclusion slot), and the restart
+        loop is a lax.while_loop that exits as soon as no lane rejects —
+        all-opaque hit batches pay exactly one alpha evaluation.
         """
         if not self.has_alpha:
             return self.intersect(o, d, tmin, tmax, exclude0, exclude1)
         import jax
 
         from .core.lds import _hash
-        from .svm.eval import dispatch_closure
 
-        hit = self.intersect(o, d, tmin, tmax, exclude0, exclude1)
-        for _ in range(self.MAX_ALPHA_RESTARTS):
+        n = o.shape[0]
+
+        def reject_of(hit):
             si = self.surface_interaction(jnp.maximum(hit.tri_id, 0), hit.bary)
-            alpha = jnp.ones(o.shape[0])
-            for k, kind in enumerate(self.kinds):
-                ctx = self.eval_context(si, k)
-                a_k = dispatch_closure(kind, ctx, mode="alpha").alpha()
-                alpha = jnp.where(si["kind"] == k, a_k, alpha)
+            alpha = self._alpha_at(si, n)
             bb = jax.lax.bitcast_convert_type(hit.bary, jnp.uint32)
             u = (
                 _hash(hit.tri_id.astype(jnp.uint32) ^ _hash(bb[..., 0]) ^ bb[..., 1])
                 >> 8
             ).astype(jnp.float32) * (1.0 / (1 << 24))
-            reject = hit.valid & (u >= alpha)
-            # restart past rejected hits
+            return hit.valid & (u >= alpha)
+
+        hit = self.intersect(o, d, tmin, tmax, exclude0, exclude1)
+
+        def cond(carry):
+            i, _, reject = carry
+            return (i < self.MAX_ALPHA_RESTARTS) & jnp.any(reject)
+
+        def body(carry):
+            i, hit, reject = carry
+            # restart past the rejected hit; earlier rejected candidates sit
+            # below the advanced tmin (strict t > tmin), so one extra slot
+            # suffices and the caller's exclude0/1 stay in force
             new_tmin = jnp.where(reject, hit.t, tmin)
             rehit = self.intersect(
-                o, d, new_tmin, tmax, exclude0=hit.tri_id, exclude1=exclude1
+                o, d, new_tmin, tmax, exclude0, exclude1, exclude2=hit.tri_id
             )
             hit = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(
@@ -144,6 +216,11 @@ class Scene:
                 hit,
                 rehit,
             )
+            return (i + 1, hit, reject_of(hit))
+
+        _, hit, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), hit, reject_of(hit))
+        )
         return hit
 
     def occlude_alpha(self, o, d, tmin, tmax, exclude0=None, exclude1=None):
@@ -155,26 +232,42 @@ class Scene:
         hit = self.intersect_alpha(o, d, tmin, tmax, exclude0, exclude1)
         return hit.valid
 
-    def occlude(self, o, d, tmin, tmax, exclude0=None, exclude1=None):
+    def occlude(self, o, d, tmin, tmax, exclude0=None, exclude1=None, exclude2=None):
         """Any-hit (the rtx occlude analog, scene.rs:154-185)."""
+        occ = self._occlude_flat(o, d, tmin, tmax, exclude0, exclude1, exclude2)
+        if self.arrays.instanced is None:
+            return occ
+        from .accel.instanced import intersect_instanced
+
+        occ_i = intersect_instanced(
+            self.arrays.instanced, o, d, tmin, tmax,
+            exclude0, exclude1, exclude2, any_hit=True,
+        )
+        return occ | occ_i
+
+    def _occlude_flat(self, o, d, tmin, tmax, exclude0=None, exclude1=None,
+                      exclude2=None):
         a = self.arrays
+        if self.num_tris == 0:
+            return jnp.zeros((o.shape[0],), bool)
         if a.bvh is None:
             if _on_tpu() and self.num_tris <= self.PALLAS_MAX_TRIS:
                 from .accel.pallas_intersect import intersect_pallas, pack_tris
 
                 tri = pack_tris(a.v0, a.e1, a.e2)
                 return intersect_pallas(
-                    tri, o, d, tmin, tmax, exclude0, exclude1, any_hit=True
+                    tri, o, d, tmin, tmax, exclude0, exclude1, exclude2, any_hit=True
                 )
             from .accel.trace import occlude_brute_force
 
             return occlude_brute_force(
-                o, d, tmin, tmax, a.v0, a.e1, a.e2, exclude0, exclude1
+                o, d, tmin, tmax, a.v0, a.e1, a.e2, exclude0, exclude1, exclude2
             )
         from .accel.cluster import intersect_clusters
 
         return intersect_clusters(
-            a.bvh["clusters"], o, d, tmin, tmax, exclude0, exclude1, any_hit=True
+            a.bvh["clusters"], o, d, tmin, tmax, exclude0, exclude1, exclude2,
+            any_hit=True,
         )
 
     # ---- shading helpers used by all integrators ----
@@ -185,7 +278,7 @@ class Scene:
         ns, uv, frame(t,b,n), area, kind, mat, light_id, prim_pdf.
 
         Small scenes fetch ALL per-tri attributes with one one-hot matmul
-        [N, T] @ [T, 34] — one MXU pass instead of ~15 gathers.
+        [N, T] @ [T, 41] — one MXU pass instead of ~15 gathers.
         """
         import jax
 
@@ -193,6 +286,27 @@ class Scene:
         t = jnp.maximum(tri_id, 0)
         b0 = bary[..., 0:1]
         b1 = bary[..., 1:2]
+        if a.instanced is not None:
+            si_i = self._si_instanced(t, b0, b1)
+            if self.num_tris == 0:  # fully-instanced scene
+                return si_i
+            is_inst = t >= self.num_tris
+            si_f = self._si_flat(jnp.minimum(t, self.num_tris - 1), b0, b1)
+            si = jax.tree_util.tree_map(
+                lambda x, y: jnp.where(
+                    is_inst.reshape(is_inst.shape + (1,) * (x.ndim - 1)), y, x
+                ),
+                si_f,
+                si_i,
+            )
+            si["tri_id"] = t
+            return si
+        return self._si_flat(t, b0, b1)
+
+    def _si_flat(self, t, b0, b1):
+        import jax
+
+        a = self.arrays
         if self.num_tris <= self.ONE_HOT_MAX_TRIS:
             oh = jax.nn.one_hot(t, a.attr.shape[0], dtype=jnp.float32)
             # GEOMETRY goes through this matmul: TPU f32 matmuls default to
@@ -206,10 +320,11 @@ class Scene:
             area = attr[..., 12]
             ns_c = attr[..., 13:22].reshape(attr.shape[:-1] + (3, 3))
             uv_c = attr[..., 22:28].reshape(attr.shape[:-1] + (3, 2))
-            kind = attr[..., 28].astype(jnp.int32)
-            mat = attr[..., 29].astype(jnp.int32)
-            light_id = attr[..., 30].astype(jnp.int32)
-            prim_pdf = attr[..., 31]
+            tan_c = attr[..., 28:37].reshape(attr.shape[:-1] + (3, 3))
+            kind = attr[..., 37].astype(jnp.int32)
+            mat = attr[..., 38].astype(jnp.int32)
+            light_id = attr[..., 39].astype(jnp.int32)
+            prim_pdf = attr[..., 40]
         else:
             v0 = a.v0[t]
             e1 = a.e1[t]
@@ -218,10 +333,67 @@ class Scene:
             area = a.area[t]
             ns_c = a.ns[t]
             uv_c = a.uv[t]
+            tan_c = a.tangent[t]
             kind = a.shader_kind[t]
             mat = a.tri_mat[t]
             light_id = a.lights.tri_light_id[t]
             prim_pdf = a.lights.tri_prim_pdf[t]
+        return self._finish_si(
+            t, b0, b1, v0, e1, e2, ng, area, ns_c, uv_c, tan_c,
+            kind, mat, light_id, prim_pdf,
+        )
+
+    def _si_instanced(self, t, b0, b1):
+        """Attribute fetch for global virtual tri ids >= num_tris: locate the
+        instance by tri_base, gather LOCAL attributes, apply the instance
+        transform at fetch time (the memory win of two-level instancing:
+        per-instance world attributes are never materialized)."""
+        import jax
+
+        from .accel.instanced import apply_3x3, apply_affine, apply_linear
+
+        ia = self.arrays.instanced
+        num_i = ia.tri_base.shape[0]
+        i = jnp.clip(jnp.searchsorted(ia.tri_base, t, side="right") - 1, 0, num_i - 1)
+        tl_max = max(int(ia.v0.shape[0]) - 1, 0)
+        lt = jnp.clip(t - ia.tri_base[i] + ia.mesh_tri_start[i], 0, tl_max)
+        m = ia.m[i]
+        mt = ia.minv_t[i]
+        v0 = apply_affine(m, ia.v0[lt])
+        e1 = apply_linear(m, ia.e1[lt])
+        e2 = apply_linear(m, ia.e2[lt])
+        ngl = jnp.cross(ia.e1[lt], ia.e2[lt])
+        ng = apply_3x3(mt, ngl)
+        ng = ng / jnp.maximum(
+            jnp.sqrt(jnp.sum(ng * ng, -1, keepdims=True)), 1e-30
+        )
+        area = 0.5 * jnp.sqrt(jnp.sum(jnp.cross(e1, e2) ** 2, -1))
+        nsl = ia.ns[lt]  # [N, 3, 3]
+        ns_c = jnp.stack(
+            [apply_3x3(mt, nsl[:, c, :]) for c in range(3)], axis=-2
+        )
+        ns_c = ns_c / jnp.maximum(
+            jnp.sqrt(jnp.sum(ns_c * ns_c, -1, keepdims=True)), 1e-30
+        )
+        tanl = ia.tangent[lt]
+        tan_c = jnp.stack(
+            [apply_linear(m, tanl[:, c, :]) for c in range(3)], axis=-2
+        )
+        tlen = jnp.sqrt(jnp.sum(tan_c * tan_c, -1, keepdims=True))
+        tan_c = jnp.where(tlen > 1e-12, tan_c / jnp.maximum(tlen, 1e-30), 0.0)
+        uv_c = ia.uv[lt]
+        slot = jnp.clip(ia.mat_slot[lt], 0, ia.slot_mat.shape[1] - 1)
+        mat = ia.slot_mat[i, slot]
+        kind = ia.slot_kind[i, slot]
+        light_id = jnp.full(t.shape, -1, jnp.int32)  # instanced = non-emissive
+        prim_pdf = jnp.zeros(t.shape)
+        return self._finish_si(
+            t, b0, b1, v0, e1, e2, ng, area, ns_c, uv_c, tan_c,
+            kind, mat, light_id, prim_pdf,
+        )
+
+    def _finish_si(self, t, b0, b1, v0, e1, e2, ng, area, ns_c, uv_c, tan_c,
+                   kind, mat, light_id, prim_pdf):
         p = v0 + e1 * b0 + e2 * b1
         w0 = 1.0 - b0 - b1
         ns = normalize(w0 * ns_c[..., 0, :] + b0 * ns_c[..., 1, :] + b1 * ns_c[..., 2, :])
@@ -240,6 +412,13 @@ class Scene:
         tlen2 = jnp.sum(tangent * tangent, -1)
         fallback_t, _ = _onb(ng)
         tangent = jnp.where((degenerate | (tlen2 == 0.0))[..., None], fallback_t, tangent)
+        # stored (mikktspace-style) per-corner tangents take precedence over
+        # the dpdu fallback (ref mesh.rs:552-592); zero rows mean "none"
+        tan_stored = (
+            w0 * tan_c[..., 0, :] + b0 * tan_c[..., 1, :] + b1 * tan_c[..., 2, :]
+        )
+        stored_ok = jnp.sum(tan_stored * tan_stored, -1) > 1e-12
+        tangent = jnp.where(stored_ok[..., None], tan_stored, tangent)
         frame = frame_from_n_t(ns, tangent)
         return {
             "p": p,
@@ -360,6 +539,63 @@ def _kind_may_have_alpha(kind, params: np.ndarray) -> bool:
 
 
 # ---- loading ----------------------------------------------------------------
+def _partition_instances(sg: SceneGraph):
+    """Pick which instances go to the two-level instanced accel instead of
+    being flattened: geometry referenced >= AKR_INSTANCE_MIN (default 2)
+    times by non-emissive instances with >= AKR_INSTANCE_MIN_TRIS triangles.
+    Emissive instances always flatten (light tables are per-world-triangle).
+    AKR_INSTANCING=0 disables. Returns (skip names, instance specs, meshes)."""
+    import os
+
+    if os.environ.get("AKR_INSTANCING", "1") == "0":
+        return set(), [], []
+    min_refs = int(os.environ.get("AKR_INSTANCE_MIN", "2"))
+    min_tris = int(os.environ.get("AKR_INSTANCE_MIN_TRIS", "128"))
+
+    refcount: dict[str, int] = {}
+    for inst in sg.instances.values():
+        g = inst["geometry"]["id"]
+        refcount[g] = refcount.get(g, 0) + 1
+
+    from .accel.flatten import local_mesh_arrays
+    from .scenegraph.model import load_transform
+
+    skip: set[str] = set()
+    specs: list[dict] = []
+    meshes: list[dict] = []
+    geom_slot: dict[str, int] = {}
+    for idx, (name, inst) in enumerate(sg.instances.items()):
+        g = inst["geometry"]["id"]
+        if refcount[g] < min_refs:
+            continue
+        emissive = False
+        for mref in inst["materials"]:
+            e = _estimate_emission_const(sg.materials[mref["id"]]["shader"])
+            if e is None or e > 0.0:
+                emissive = True
+                break
+        if emissive:
+            continue
+        if g not in geom_slot:
+            me = local_mesh_arrays(sg, g)
+            if len(me["v0"]) < min_tris:
+                refcount[g] = 0  # too small: flatten all its instances
+                continue
+            geom_slot[g] = len(meshes)
+            meshes.append(me)
+        skip.add(name)
+        specs.append(
+            {
+                "name": name,
+                "mesh": geom_slot[g],
+                "matrix": load_transform(inst["transform"], is_camera=False),
+                "materials": [m["id"] for m in inst["materials"]],
+                "inst_index": idx,
+            }
+        )
+    return skip, specs, meshes
+
+
 def _estimate_emission_const(graph: dict) -> float | None:
     """Fast emission scan (load.rs:74-127): returns max emission*strength if
     statically known, None if texture-driven (conservatively emissive)."""
@@ -401,7 +637,8 @@ def load_scene(path: str, width: int | None = None, height: int | None = None) -
 
     get_table("ggx_dielectric_s")
     sg = load_scene_json(path)
-    soup, mat_names, instance_info = flatten_scene(sg)
+    skip, inst_specs, mesh_list = _partition_instances(sg)
+    soup, mat_names, instance_info = flatten_scene(sg, skip=skip or None)
     num_tris = len(soup.v0)
 
     # compile materials
@@ -427,6 +664,17 @@ def load_scene(path: str, width: int | None = None, height: int | None = None) -
             "clusters": build_clusters(soup.v0, soup.e1, soup.e2, np.asarray(bvh.order)),
         }
 
+    # two-level instanced accel for repeated non-emissive geometry
+    inst_arrays = None
+    if inst_specs:
+        from .accel.instanced import build_instanced
+
+        name_to_idx = {n: i for i, n in enumerate(mat_names)}
+        for spec in inst_specs:
+            spec["slot_mat"] = [name_to_idx[m] for m in spec["materials"]] or [0]
+            spec["slot_kind"] = [refs[m].kind for m in spec["materials"]] or [0]
+        inst_arrays, _ = build_instanced(mesh_list, inst_specs, num_tris)
+
     placeholder_lights = LightArrays.build([], [], num_tris)
     arrays = SceneArrays(
         v0=jnp.asarray(soup.v0),
@@ -436,6 +684,7 @@ def load_scene(path: str, width: int | None = None, height: int | None = None) -
         area=jnp.asarray(soup.area),
         ns=jnp.asarray(soup.ns),
         uv=jnp.asarray(soup.uv),
+        tangent=jnp.asarray(soup.tangent),
         inst_id=jnp.asarray(soup.inst_id),
         shader_kind=jnp.asarray(tri_kind),
         tri_mat=jnp.asarray(soup.mat_id.astype(np.int32)),
@@ -444,6 +693,7 @@ def load_scene(path: str, width: int | None = None, height: int | None = None) -
         bvh=bvh_field,
         const_emission=_const_emission_table(sg, mat_names),
         lights=placeholder_lights,  # rebuilt below once emission is known
+        instanced=inst_arrays,
     )
     # static alpha scan (decides whether traversal needs the restart loop)
     verdicts = [
@@ -462,6 +712,7 @@ def load_scene(path: str, width: int | None = None, height: int | None = None) -
         material_names=mat_names,
         num_tris=num_tris,
         has_alpha=has_alpha,
+        kind_alpha=[v != "no" for v in verdicts],
     )
 
     # ---- emissive detection + per-triangle power (load.rs:312-414) ----
@@ -508,7 +759,7 @@ def load_scene(path: str, width: int | None = None, height: int | None = None) -
 
 
 def _build_attr(soup: TriangleSoup, tri_kind: np.ndarray, lights: LightArrays) -> jnp.ndarray:
-    """Pack all per-triangle attributes into one [T, 32] matrix for the
+    """Pack all per-triangle attributes into one [T, 41] matrix for the
     one-hot-matmul fetch path of surface_interaction."""
     T = len(soup.v0)
     cols = [
@@ -519,6 +770,7 @@ def _build_attr(soup: TriangleSoup, tri_kind: np.ndarray, lights: LightArrays) -
         soup.area[:, None],
         soup.ns.reshape(T, 9),
         soup.uv.reshape(T, 6),
+        soup.tangent.reshape(T, 9),
         tri_kind[:, None].astype(np.float32),
         soup.mat_id[:, None].astype(np.float32),
         np.asarray(lights.tri_light_id)[:, None].astype(np.float32),

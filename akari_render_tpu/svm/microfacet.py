@@ -106,15 +106,32 @@ class TrowbridgeReitz(NamedTuple):
         return face_forward(wh, z_axis)
 
     def invert_wh(self, wo, wh):
-        """Analytic inverse of classic sampling (microfacet.rs:153-195), isotropic."""
+        """Analytic inverse of classic sampling (microfacet.rs:153-195),
+        isotropic AND anisotropic — needed for MCMC replay through GGX lobes."""
         assert not self.sample_visible, "invert_wh requires classic sampling"
-        ax = self.alpha[..., 0]
-        phi = jnp.arctan2(wh[..., 1], wh[..., 0])
-        cos_t = wh[..., 2]
-        uy = jnp.mod(phi * INV_2PI, 1.0)
+        ax, ay = self.alpha[..., 0], self.alpha[..., 1]
+        x, y, cos_t = wh[..., 0], wh[..., 1], wh[..., 2]
         tan2 = 1.0 / jnp.maximum(cos_t**2, 1e-12) - 1.0
-        gamma = tan2 / jnp.maximum(ax * ax, 1e-12)
-        ux = gamma / (1.0 + gamma)
+        # isotropic: phi = 2*pi*u1 directly
+        phi = jnp.arctan2(y, x)
+        uy_i = jnp.mod(phi * INV_2PI, 1.0)
+        ga_i = tan2 / jnp.maximum(ax * ax, 1e-12)
+        ux_i = ga_i / (1.0 + ga_i)
+        # anisotropic: sampling sets tan(phi) = (ay/ax) tan(psi) with
+        # psi = 2*pi*u1 + pi/2; the arctan branch structure maps psi to the
+        # OPPOSITE quadrant of phi (tan has period pi), so
+        # psi = atan2(ax*y, ay*x) + pi  (mod 2*pi is absorbed by the mod below)
+        psi = jnp.arctan2(ax * y, ay * x) + PI
+        uy_a = jnp.mod((psi - 0.5 * PI) * INV_2PI, 1.0)
+        r2 = jnp.maximum(x * x + y * y, 1e-24)
+        inv_a2 = (x * x / r2) / jnp.maximum(ax * ax, 1e-12) + (
+            y * y / r2
+        ) / jnp.maximum(ay * ay, 1e-12)
+        ga_a = tan2 * inv_a2
+        ux_a = ga_a / (1.0 + ga_a)
+        is_iso = ax == ay
+        ux = jnp.where(is_iso, ux_i, ux_a)
+        uy = jnp.where(is_iso, uy_i, uy_a)
         return jnp.stack([ux, uy], axis=-1)
 
     def pdf(self, wo, wh):

@@ -208,3 +208,60 @@ class TestImageIO:
         except Exception:
             pytest.skip("imageio lacks an EXR backend here")
         np.testing.assert_allclose(back[..., :3], img, atol=1e-6)
+
+
+class TestGGXInversion:
+    """u -> sample_wh -> invert_wh -> u' round-trips (ref akari_test.rs:440-510:
+    8192x256 draws, count |u' - u| > 0.01) for classic GGX sampling, isotropic
+    and anisotropic — the property MCMC replay relies on."""
+
+    def _roundtrip(self, alpha, rng_np, n=8192):
+        import jax.numpy as jnp
+
+        from akari_render_tpu.svm.microfacet import TrowbridgeReitz
+
+        dist = TrowbridgeReitz(
+            jnp.broadcast_to(jnp.asarray(alpha, jnp.float32), (n, 2)),
+            sample_visible=False,
+        )
+        u = jnp.asarray(rng_np.uniform(1e-4, 1.0 - 1e-4, size=(n, 2)).astype(np.float32))
+        wo = jnp.broadcast_to(
+            jnp.asarray([0.3, -0.2, 0.93], jnp.float32) / np.linalg.norm([0.3, -0.2, 0.93]),
+            (n, 3),
+        )
+        wh = dist.sample_wh(wo, u)
+        u2 = dist.invert_wh(wo, wh)
+        # wrap-aware distance in [0,1) (phi wraps at the seam)
+        d = np.abs(np.asarray(u2) - np.asarray(u))
+        d = np.minimum(d, 1.0 - d)
+        frac_bad = (d > 0.01).any(axis=-1).mean()
+        assert frac_bad < 0.01, f"alpha={alpha}: {frac_bad:.4f} of draws off by >0.01"
+
+    @pytest.mark.parametrize("rough", [0.1, 0.3, 0.6, 1.0])
+    def test_isotropic(self, rough, rng_np):
+        a = rough * rough
+        self._roundtrip((a, a), rng_np)
+
+    @pytest.mark.parametrize("alphas", [(0.04, 0.25), (0.5, 0.1), (0.9, 0.3)])
+    def test_anisotropic(self, alphas, rng_np):
+        self._roundtrip(alphas, rng_np)
+
+    @pytest.mark.parametrize("alpha", [(0.09, 0.09), (0.25, 0.04)])
+    def test_pdf_consistency_after_invert(self, alpha, rng_np):
+        """invert then re-sample must reproduce the same wh (bit-stability of
+        the replay path, not just |u| closeness)."""
+        import jax.numpy as jnp
+
+        from akari_render_tpu.svm.microfacet import TrowbridgeReitz
+
+        n = 4096
+        dist = TrowbridgeReitz(
+            jnp.broadcast_to(jnp.asarray(alpha, jnp.float32), (n, 2)),
+            sample_visible=False,
+        )
+        u = jnp.asarray(rng_np.uniform(1e-3, 1 - 1e-3, size=(n, 2)).astype(np.float32))
+        wo = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n, 3))
+        wh = dist.sample_wh(wo, u)
+        wh2 = dist.sample_wh(wo, dist.invert_wh(wo, wh))
+        err = np.abs(np.asarray(wh2) - np.asarray(wh)).max(-1)
+        assert (err < 5e-3).mean() > 0.99

@@ -114,3 +114,183 @@ class TestSharding:
         np.testing.assert_allclose(
             img.mean(axis=(0, 1)), [0.176, 0.114, 0.0327], rtol=0.25
         )
+
+
+class TestAlphaTraversal:
+    """Stochastic alpha-tested traversal (ref scene.rs:42-110): restarts must
+    honor the CALLER's exclusion ids (regression: they were dropped after the
+    first restart) and skip alpha-rejected candidates."""
+
+    def _build(self, tmp_path, alpha):
+        import io
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+        import make_test_scene as M
+        from PIL import Image
+
+        from akari_render_tpu.scenegraph.write import SceneBuilder
+
+        b = SceneBuilder()
+        M.quad(b, "front", (-2, -2, 0), (2, -2, 0), (2, 2, 0), (-2, 2, 0))
+        M.quad(b, "back", (-2, -2, -1), (2, -2, -1), (2, 2, -1), (-2, 2, -1))
+        w = h = 8
+        rgba = np.full((h, w, 4), 255, np.uint8)
+        rgba[..., 3] = int(round(alpha * 255))
+        buf = io.BytesIO()
+        Image.fromarray(rgba).save(buf, format="PNG")
+        view = b.add_array("tex.a", np.frombuffer(buf.getvalue(), np.uint8))
+        nodes = {
+            "tex": {
+                "type": "image",
+                "image": {
+                    "data": view,
+                    "extension": "repeat",
+                    "interpolation": "linear",
+                    "colorspace": "srgb",
+                    "format": "png",
+                    "width": w,
+                    "height": h,
+                    "channels": 4,
+                },
+            }
+        }
+        b.add_material(
+            "alpha_mat",
+            M.principled(roughness=0.8, base_color_node=(nodes, {"id": "tex"})),
+        )
+        b.add_material("solid", M.principled(base_color=(0.5, 0.5, 0.5)))
+        eye = np.eye(4).tolist()
+        b.add_instance("front_i", "front", eye, ["alpha_mat"])
+        b.add_instance("back_i", "back", eye, ["solid"])
+        b.set_camera_perspective(transform_matrix=np.eye(4), width=8, height=8)
+        path = b.write(tmp_path / f"alpha{alpha}", compact=True)
+        return load_scene(path)
+
+    def _rays(self, n=64):
+        rng = np.random.default_rng(7)
+        xy = rng.uniform(-1.5, 1.5, (n, 2)).astype(np.float32)
+        o = jnp.asarray(np.concatenate([xy, np.full((n, 1), 5.0, np.float32)], -1))
+        d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), (n, 3))
+        tmin = jnp.zeros((n,))
+        tmax = jnp.full((n,), 1e8)
+        return o, d, tmin, tmax
+
+    def test_alpha_zero_passes_through(self, tmp_path):
+        scene = self._build(tmp_path, 0.0)
+        assert scene.has_alpha
+        o, d, tmin, tmax = self._rays()
+        hit = scene.intersect_alpha(o, d, tmin, tmax)
+        # front quad = tris 0,1 (instance order); back quad = tris 2,3
+        assert bool(jnp.all(hit.valid))
+        assert bool(jnp.all(hit.tri_id >= 2))
+        np.testing.assert_allclose(np.asarray(hit.t), 6.0, atol=1e-4)
+
+    def test_restart_preserves_caller_exclusions(self, tmp_path):
+        """Exclude BOTH back tris (both caller slots used): rays must pass the
+        alpha=0 front quad and then MISS — never re-hit an excluded id."""
+        scene = self._build(tmp_path, 0.0)
+        o, d, tmin, tmax = self._rays()
+        base = scene.intersect_alpha(o, d, tmin, tmax)
+        ex0 = jnp.full(base.tri_id.shape, 2, jnp.int32)
+        ex1 = jnp.full(base.tri_id.shape, 3, jnp.int32)
+        hit = scene.intersect_alpha(o, d, tmin, tmax, exclude0=ex0, exclude1=ex1)
+        assert not bool(jnp.any(hit.valid & (hit.tri_id >= 2)))
+        assert not bool(jnp.any(hit.valid & (hit.tri_id <= 1)))
+
+    def test_alpha_half_is_stochastic(self, tmp_path):
+        scene = self._build(tmp_path, 0.5)
+        o, d, tmin, tmax = self._rays(n=512)
+        hit = scene.intersect_alpha(o, d, tmin, tmax)
+        front = float(jnp.mean((hit.tri_id <= 1).astype(jnp.float32)))
+        assert 0.3 < front < 0.7  # ~Bernoulli(alpha~0.5) per candidate
+
+    def test_opaque_scene_skips_restarts(self, tmp_path):
+        scene = self._build(tmp_path, 1.0)
+        # static texel scan proves opacity -> no alpha path at all
+        assert not scene.has_alpha
+        o, d, tmin, tmax = self._rays()
+        hit = scene.intersect_alpha(o, d, tmin, tmax)
+        assert bool(jnp.all(hit.tri_id <= 1))
+
+
+class TestTangents:
+    """Stored tangent frames (ref mesh.rs:118-124 mikktspace generation,
+    mesh.rs:552-592 stored-tangent interpolation): stored tangents must win
+    over the dpdu fallback, and meshes without them get smoothed generated
+    tangents that differ from raw per-face dpdu on curved geometry."""
+
+    def _scene_with_tangents(self, tmp_path, tangents):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+        import make_test_scene as M
+
+        from akari_render_tpu.scenegraph.write import SceneBuilder
+
+        b = SceneBuilder()
+        v = np.asarray(
+            [(-1, -1, 0), (1, -1, 0), (1, 1, 0), (-1, 1, 0)], np.float32
+        )
+        idx = np.asarray([[0, 1, 2], [0, 2, 3]], np.uint32)
+        uv = np.asarray([[0, 0], [1, 0], [1, 1], [0, 0], [1, 1], [0, 1]], np.float32)
+        b.add_mesh("quad", v, idx, uvs=uv, tangents=tangents)
+        b.add_material("m", M.principled(base_color=(0.5, 0.5, 0.5)))
+        b.add_instance("q", "quad", np.eye(4).tolist(), ["m"])
+        b.set_camera_perspective(transform_matrix=np.eye(4), width=8, height=8)
+        return load_scene(b.write(tmp_path / "tan", compact=True))
+
+    def test_stored_tangent_wins_over_dpdu(self, tmp_path):
+        # uv mapping gives dpdu = +x; store +y tangents instead
+        t = np.tile(np.asarray([0, 1, 0], np.float32), (6, 1))
+        scene = self._scene_with_tangents(tmp_path, t)
+        si = scene.surface_interaction(
+            jnp.zeros((4,), jnp.int32), jnp.full((4, 2), 0.25)
+        )
+        tan = np.asarray(si["frame"][0])
+        np.testing.assert_allclose(tan, np.tile([0, 1, 0], (4, 1)), atol=1e-5)
+
+    def test_no_tangents_falls_back_to_dpdu(self, tmp_path):
+        scene = self._scene_with_tangents(tmp_path, None)
+        si = scene.surface_interaction(
+            jnp.zeros((4,), jnp.int32), jnp.full((4, 2), 0.25)
+        )
+        tan = np.asarray(si["frame"][0])
+        # dpdu for this uv layout is +x (and so is its smoothed average)
+        np.testing.assert_allclose(np.abs(tan[:, 0]), 1.0, atol=1e-4)
+
+    def test_generated_tangents_smooth_on_sphere(self, tmp_path):
+        """On a curved mesh the smoothed generated tangent differs from the
+        raw per-face dpdu but stays continuous at shared vertices."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+        import make_test_scene as M
+
+        from akari_render_tpu.accel.flatten import _generate_tangents
+
+        V, I = M.uv_sphere(8, 16, radius=1.0)
+        # spherical uvs
+        th = np.arccos(np.clip(V[:, 1], -1, 1))
+        ph = np.arctan2(V[:, 2], V[:, 0])
+        uvs = np.stack([ph / (2 * np.pi) + 0.5, th / np.pi], -1)[
+            I.reshape(-1)
+        ].astype(np.float64)
+        tan = _generate_tangents(
+            V.astype(np.float64), I.astype(np.int64), uvs.reshape(len(I), 3, 2)
+        )
+        # corners sharing a vertex index agree exactly (weld-by-vertex)
+        flat = tan.reshape(-1, 3)
+        ids = I.reshape(-1)
+        for vid in np.unique(ids)[:20]:
+            rows = flat[ids == vid]
+            assert np.abs(rows - rows[0]).max() < 1e-12
+        # and tangents are unit + orthogonal-ish to the sphere normal
+        inner = np.abs((flat * V[ids]).sum(-1))
+        ln = np.linalg.norm(flat, axis=-1)
+        ok = ln > 0.5
+        assert ok.mean() > 0.9
+        assert np.quantile(inner[ok], 0.9) < 0.3
