@@ -33,6 +33,14 @@ from ..core.math import RAY_TMAX
 CLUSTER_SIZE = 128
 SELECT_M = 8
 CULL_CHUNK = 1024
+# hierarchical cull: group G consecutive (BVH-leaf-ordered -> spatially
+# coherent) clusters under one supercluster AABB; the dense [K, N] cull
+# becomes [K/G, N] + per-visited-group [N, G] — at 2M tris (K=15625) that is
+# a ~60x cut in slab work, the HBM-bound phase (round-1 STATUS item 2)
+SUPER_GROUP = 64
+SUPER_MIN_CLUSTERS = 512
+SUPER_EXPAND = 8  # superclusters expanded per round (p95 hit count ~5)
+SUPER_CAP = 16  # candidate clusters tested per round (p95 needed ~9)
 
 
 class ClusterArrays(NamedTuple):
@@ -41,6 +49,10 @@ class ClusterArrays(NamedTuple):
     tri: jnp.ndarray  # [K, C, 12] packed v0|e1|e2|(orig_id,pad,pad)
     # kept for parity with BvhArrays consumers
     order: jnp.ndarray  # [Tpad] original tri id per slot (-1 padding)
+    # optional second level (built when K >= SUPER_MIN_CLUSTERS):
+    sc_bmin: jnp.ndarray | None = None  # [K2, 3]
+    sc_bmax: jnp.ndarray | None = None  # [K2, 3]
+    cl_bounds: jnp.ndarray | None = None  # [K2, G, 6] child AABBs (min|max)
 
     @property
     def num_clusters(self) -> int:  # static: from array shape, jit-safe
@@ -73,11 +85,29 @@ def build_clusters(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, order: np.nda
         [sv0, se1, se2, slot_order[:, None].astype(np.float32), np.zeros((Tp, 2), np.float32)],
         axis=1,
     ).reshape(K, C, 12)
+
+    sc_bmin = sc_bmax = cl_bounds = None
+    if K >= SUPER_MIN_CLUSTERS:
+        G = SUPER_GROUP
+        K2 = (K + G - 1) // G
+        pmin = np.full((K2 * G, 3), big, np.float32)
+        pmax = np.full((K2 * G, 3), -big, np.float32)
+        pmin[:K] = cbmin
+        pmax[:K] = cbmax
+        sc_bmin = jnp.asarray(pmin.reshape(K2, G, 3).min(axis=1))
+        sc_bmax = jnp.asarray(pmax.reshape(K2, G, 3).max(axis=1))
+        cl_bounds = jnp.asarray(
+            np.concatenate([pmin, pmax], axis=1).reshape(K2, G, 6)
+        )
+
     return ClusterArrays(
         cbmin=jnp.asarray(cbmin),
         cbmax=jnp.asarray(cbmax),
         tri=jnp.asarray(packed),
         order=jnp.asarray(slot_order.astype(np.int32)),
+        sc_bmin=sc_bmin,
+        sc_bmax=sc_bmax,
+        cl_bounds=cl_bounds,
     )
 
 
@@ -207,6 +237,159 @@ def _test_cluster(cl, cid, o, d, tmin, t_best, tri_best, u_best, v_best,
     )
 
 
+def _intersect_super(cl: ClusterArrays, o, d, tmin, tmax, excludes, any_hit):
+    """Hierarchical exact traversal, candidate-list form. Per round:
+
+    1. dense [K2, N] supercluster cull (cheap: K2 = K/G),
+    2. expand the SUPER_EXPAND nearest superclusters after the lane's
+       SC-threshold into child clusters ([N, G, 6] row gathers + slab),
+    3. merge children into the SUPER_CAP nearest candidates (lax.top_k) after
+       the lane's CLUSTER-threshold,
+    4. test candidates in ascending entry order; skip once entry >= t_best.
+
+    Typical scenes finish in ONE round (measured heightfield: p95 = 5 hit
+    superclusters, 9 needed clusters per ray). Exactness across rounds uses
+    two lexicographic (entry, id) thresholds: the SC threshold advances only
+    when the candidate pool was fully tested (no overflow past SUPER_CAP);
+    otherwise the cluster threshold advances within the same SC set. One of
+    the two strictly advances every round, so termination is guaranteed, and
+    every cluster whose AABB entry is closer than the final hit gets tested."""
+    n = o.shape[0]
+    G = cl.cl_bounds.shape[1]
+    K2 = cl.sc_bmin.shape[0]
+    SSC = min(SUPER_EXPAND, K2)
+    CAP = SUPER_CAP
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
+    t_best0 = jnp.minimum(jnp.full((n,), RAY_TMAX), tmax)
+    rows = jnp.arange(n)
+    INF = jnp.inf
+
+    def sc_entries(t_best):
+        t0 = (cl.sc_bmin[:, None, :] - o[None, :, :]) * inv_d[None, :, :]
+        t1 = (cl.sc_bmax[:, None, :] - o[None, :, :]) * inv_d[None, :, :]
+        tn = jnp.minimum(t0, t1).max(-1)
+        tf = jnp.maximum(t0, t1).min(-1)
+        near = jnp.maximum(tn, tmin[None, :])
+        far = jnp.minimum(tf, t_best[None, :])
+        return jnp.where(near <= far, near, INF)  # [K2, N]
+
+    def round_cond(carry):
+        return jnp.any(carry[-1])
+
+    def round_body(carry):
+        (sc_te, sc_ti, cl_te, cl_ti, t_best, tri, u, v, occ, live) = carry
+
+        # --- select SSC nearest superclusters after the SC threshold ---
+        e = sc_entries(t_best).T  # [N, K2]
+        ids_row = jnp.broadcast_to(jnp.arange(K2, dtype=jnp.int32)[None, :], e.shape)
+        after = (e > sc_te[:, None]) | ((e == sc_te[:, None]) & (ids_row > sc_ti[:, None]))
+        e = jnp.where(after, e, INF)
+        sel_e, sel_i = [], []
+        taken = jnp.zeros_like(e, bool)
+        for _ in range(SSC):
+            em = jnp.where(taken, INF, e)
+            am = jnp.argmin(em, axis=1)
+            sel_e.append(em[rows, am])
+            sel_i.append(am.astype(jnp.int32))
+            taken = taken | (ids_row == am[:, None].astype(jnp.int32))
+        sc_e = jnp.stack(sel_e, 1)  # [N, SSC] ascending by (entry, id)
+        sc_i = jnp.stack(sel_i, 1)
+        # entry of the first UNEXPANDED supercluster (continuation bound)
+        em = jnp.where(taken, INF, e)
+        sc_next = em.min(axis=1)
+
+        # --- expand children of the selected superclusters ---
+        # expansion order = ascending SC id (invalid -> K2, expanded as a
+        # no-op), so candidate POSITION is monotone in global cluster id and
+        # a stable argsort breaks entry ties by id — which makes the
+        # lexicographic cluster threshold below exact even for tied entries
+        # (axis-aligned grids produce many identical AABB faces)
+        sc_exp = jnp.sort(jnp.where(jnp.isfinite(sc_e), sc_i, K2), axis=1)
+        ce_parts, ci_parts = [], []
+        for s in range(SSC):
+            ok = sc_exp[:, s] < K2
+            safe = jnp.minimum(sc_exp[:, s], K2 - 1)
+            bounds = cl.cl_bounds[safe]  # [N, G, 6]
+            t0 = (bounds[..., 0:3] - o[:, None, :]) * inv_d[:, None, :]
+            t1 = (bounds[..., 3:6] - o[:, None, :]) * inv_d[:, None, :]
+            tn = jnp.minimum(t0, t1).max(-1)
+            tf = jnp.maximum(t0, t1).min(-1)
+            near = jnp.maximum(tn, tmin[:, None])
+            far = jnp.minimum(tf, t_best[:, None])
+            ce = jnp.where(ok[:, None] & (near <= far), near, INF)
+            ci = safe[:, None] * G + jnp.arange(G, dtype=jnp.int32)[None, :]
+            ce_parts.append(ce)
+            ci_parts.append(ci)
+        cand_e = jnp.concatenate(ce_parts, axis=1)  # [N, SSC*G]
+        cand_i = jnp.concatenate(ci_parts, axis=1)
+        # cluster-threshold filter (re-entry into a partially tested SC set)
+        after_c = (cand_e > cl_te[:, None]) | (
+            (cand_e == cl_te[:, None]) & (cand_i > cl_ti[:, None])
+        )
+        cand_e = jnp.where(after_c, cand_e, INF)
+        # nearest CAP candidates ascending (stable sort: ties by id)
+        order = jnp.argsort(cand_e, axis=1)
+        sorted_e = jnp.take_along_axis(cand_e, order, axis=1)
+        sorted_i = jnp.take_along_axis(cand_i, order, axis=1)
+        width = cand_e.shape[1]
+        top_e = sorted_e[:, : min(CAP, width)]
+        top_i = sorted_i[:, : min(CAP, width)]
+        # entry of the first candidate BEYOND the cap (overflow bound)
+        overflow_e = sorted_e[:, CAP] if width > CAP else jnp.full((n,), INF)
+
+        # --- test candidates in order ---
+        for c in range(top_e.shape[1]):
+            visit = live & jnp.isfinite(top_e[:, c]) & (top_e[:, c] < t_best)
+            if any_hit:
+                visit = visit & ~occ
+            cid = jnp.where(visit, top_i[:, c], -1)
+            t_best, tri, u, v, occ = _test_cluster(
+                cl, cid, o, d, tmin, t_best, tri, u, v, excludes, any_hit, occ
+            )
+
+        # --- continuation ---
+        # untested-overflow candidates that could still matter?
+        has_overflow = jnp.isfinite(overflow_e) & (overflow_e < t_best)
+        # unexpanded superclusters that could still matter?
+        has_more_sc = jnp.isfinite(sc_next) & (sc_next < t_best)
+        live = live & (has_overflow | has_more_sc)
+        if any_hit:
+            live = live & ~occ
+        # overflow -> advance the cluster threshold, keep the SC set;
+        # else    -> advance the SC threshold, reset the cluster threshold
+        last_e = top_e[:, -1]
+        last_i = top_i[:, -1]
+        sc_last_e = sc_e[:, -1]
+        sc_last_i = sc_i[:, -1]
+        new_sc_te = jnp.where(live & ~has_overflow, sc_last_e, sc_te)
+        new_sc_ti = jnp.where(live & ~has_overflow, sc_last_i, sc_ti)
+        new_cl_te = jnp.where(
+            live & has_overflow, last_e, jnp.full((n,), -INF)
+        )
+        new_cl_ti = jnp.where(live & has_overflow, last_i, -1)
+        return (
+            new_sc_te, new_sc_ti, new_cl_te, new_cl_ti,
+            t_best, tri, u, v, occ, live,
+        )
+
+    carry = (
+        jnp.full((n,), -INF),
+        jnp.full((n,), -1, jnp.int32),
+        jnp.full((n,), -INF),
+        jnp.full((n,), -1, jnp.int32),
+        t_best0,
+        jnp.full((n,), -1, jnp.int32),
+        jnp.zeros((n,)),
+        jnp.zeros((n,)),
+        jnp.zeros((n,), bool),
+        jnp.ones((n,), bool),
+    )
+    (_, _, _, _, t_best, tri, u, v, occ, _) = jax.lax.while_loop(
+        round_cond, round_body, carry
+    )
+    return t_best, tri, u, v, occ
+
+
 def intersect_clusters(cl: ClusterArrays, o, d, tmin, tmax,
                        exclude0=None, exclude1=None, exclude2=None, any_hit=False,
                        crange=None, raw=False):
@@ -215,7 +398,30 @@ def intersect_clusters(cl: ClusterArrays, o, d, tmin, tmax,
     crange: per-lane (lo, hi) cluster-id range restriction (see _select_topm).
     raw: return the (t, tri, u, v, occ) carry instead of a Hit — used by the
     instanced two-level traversal, whose tri ids are LOCAL and need remapping.
+
+    Scenes with a supercluster level (and no crange) take the hierarchical
+    path — same result, ~G x less cull math.
     """
+    import os
+
+    # default OFF: measured slower than the flat rounds on the 2M heightfield
+    # (tools/bench_accel.py) — candidate selection overheads dominate; kept
+    # for workloads where the [K, N] cull matrix cannot fit
+    if (
+        cl.sc_bmin is not None
+        and crange is None
+        and os.environ.get("AKR_SUPERCLUSTERS", "0") == "1"
+    ):
+        t_best, tri, u, v, occ = _intersect_super(
+            cl, o, d, tmin, tmax, (exclude0, exclude1, exclude2), any_hit
+        )
+        if raw:
+            return t_best, tri, u, v, occ
+        if any_hit:
+            return occ
+        from .trace import Hit
+
+        return Hit(t=t_best, tri_id=tri, bary=jnp.stack([u, v], -1), valid=tri >= 0)
     n = o.shape[0]
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
     t_best0 = jnp.minimum(jnp.full((n,), RAY_TMAX), tmax)

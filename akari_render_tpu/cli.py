@@ -27,6 +27,10 @@ def main(argv=None):
     ap.add_argument("--save-intermediate", action="store_true")
     ap.add_argument("--checkpoint", default=None, help="checkpoint file for resume")
     ap.add_argument("--checkpoint-every", type=int, default=16, help="passes between checkpoints")
+    ap.add_argument(
+        "--devices", type=int, default=1,
+        help="shard the render over N devices (pt/mcmc/gpt; 1 = single-chip)",
+    )
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -62,28 +66,61 @@ def main(argv=None):
     )
     progress_cb = progress if args.verbose else None
 
+    mesh = None
+    if args.devices > 1:
+        from .parallel.shard import make_mesh
+
+        mesh = make_mesh(args.devices)
+
     if task.method_type == "pt":
-        from .integrators.pt import render_pt
+        if mesh is not None:
+            from .parallel.shard import render_pt_sharded
 
-        img, stats = render_pt(
-            scene, task.method, task,
-            progress_cb=progress_cb,
-            checkpoint_path=args.checkpoint,
-            checkpoint_every=args.checkpoint_every,
-            session=session,
-        )
+            img, stats = render_pt_sharded(
+                scene, task.method, task, mesh=mesh,
+                progress_cb=progress_cb,
+                checkpoint_path=args.checkpoint,
+                checkpoint_every=args.checkpoint_every,
+                session=session,
+            )
+        else:
+            from .integrators.pt import render_pt
+
+            img, stats = render_pt(
+                scene, task.method, task,
+                progress_cb=progress_cb,
+                checkpoint_path=args.checkpoint,
+                checkpoint_every=args.checkpoint_every,
+                session=session,
+            )
     elif task.method_type in ("mcmc", "mcmc_opt"):
-        from .integrators.mcmc import render_mcmc
+        if mesh is not None:
+            from .parallel.shard import render_mcmc_sharded
 
-        img, stats = render_mcmc(
-            scene, task.method, task, progress_cb=progress_cb, session=session
-        )
+            img, stats = render_mcmc_sharded(
+                scene, task.method, task, mesh=mesh,
+                progress_cb=progress_cb, session=session,
+            )
+        else:
+            from .integrators.mcmc import render_mcmc
+
+            img, stats = render_mcmc(
+                scene, task.method, task, progress_cb=progress_cb, session=session
+            )
     elif task.method_type == "gpt":
-        from .integrators.gpt import render_gpt
+        if mesh is not None:
+            from .parallel.shard import render_gpt_sharded
 
-        img, stats = render_gpt(
-            scene, task.method, task, progress_cb=progress_cb, session=session
-        )
+            img, stats = render_gpt_sharded(
+                scene, task.method, task, mesh=mesh,
+                progress_cb=progress_cb, session=session,
+            )
+        else:
+            from .integrators.gpt import render_gpt
+
+            img, stats = render_gpt(
+                scene, task.method, task, progress_cb=progress_cb, session=session
+            )
     elif task.method_type == "aov":
         from .integrators.aov import render_aov
 

@@ -53,6 +53,98 @@ def _reflect_offset(pix, off, width, height):
     return p
 
 
+def gpt_sample_films(scene: Scene, config: GPTConfig, filt, settings, D: int,
+                     seed: int, shift_mode: str, arrays, films, sample_idx,
+                     pix_lin):
+    """Accumulate ONE GPT sample of the pixels `pix_lin` into the six films
+    (primal, gx, gy + squared). Each pixel's PSS stream depends only on
+    (pix_lin, sample), so any partition of the frame — row chunks for the
+    watchdog, shards for multi-chip — is bias-free. Shared by render_gpt and
+    parallel.shard.render_gpt_sharded."""
+    from dataclasses import replace
+
+    width, height = scene.camera.width, scene.camera.height
+    chunk = pix_lin.shape[0]
+    sc = replace(scene, arrays=arrays)
+    primal, gx, gy, primal_sq, gx_sq, gy_sq = films
+    pix = jnp.stack(
+        [(pix_lin % width).astype(jnp.int32), (pix_lin // width).astype(jnp.int32)], -1
+    )
+    # PSS vector per pixel for this sample
+    rng = Pcg32.new_seq(U64(sample_idx.astype(jnp.uint32) ^ jnp.uint32(seed), pix_lin))
+    us = []
+    for _ in range(D):
+        rng, u = pcg32_next_f32(rng)
+        us.append(u)
+    pss = jnp.stack(us, -1)
+
+    if shift_mode == "reconnect":
+        from .gpt_reconnect import trace_base_record
+        from .mcmc import ReplaySampler
+
+        sampler = ReplaySampler(pss, jnp.zeros(chunk, jnp.int32), rng)
+        sampler, u_film = sampler.next_2d()
+        off, fw = filt.sample(u_film)
+        p_film = pix.astype(jnp.float32) + 0.5 + off
+        ray_o, ray_d = generate_rays(sc.camera, p_film)
+        base, rec, sampler = trace_base_record(
+            sc, settings, ray_o, ray_d, sampler,
+            min_dist=config.shift_mapping_min_dist,
+            min_rough=config.shift_mapping_min_roughness,
+        )
+        base = base * fw[..., None]
+        rng = sampler.rng
+    else:
+        rec = None
+        p_film, base, rng = _eval_from_pixel(sc, settings, filt, pix, pss, rng)
+    w1 = jnp.ones(chunk)
+    primal = add_samples(primal, p_film, base, w1, width, height)
+    primal_sq = add_samples(primal_sq, p_film, base * base, w1, width, height)
+
+    stride = config.stride
+    for off in OFFSETS:  # offsets are static at trace time
+        positive = int(off[0] + off[1]) > 0
+        is_x = off[0] != 0
+        off_j = jnp.asarray(off * stride)
+        spix = _reflect_offset(pix, off_j, width, height)
+        if shift_mode == "reconnect":
+            from .gpt_reconnect import trace_shift_reconnect
+            from .mcmc import ReplaySampler
+
+            sampler = ReplaySampler(pss, jnp.zeros(chunk, jnp.int32), rng)
+            sampler, u_film = sampler.next_2d()
+            soff, sfw = filt.sample(u_film)
+            sp_film = spix.astype(jnp.float32) + 0.5 + soff
+            s_o, s_d = generate_rays(sc.camera, sp_film)
+            shifted, jac, sampler = trace_shift_reconnect(
+                sc, settings, s_o, s_d, sampler, rec,
+                min_dist=config.shift_mapping_min_dist,
+                min_rough=config.shift_mapping_min_roughness,
+            )
+            shifted = shifted * sfw[..., None]
+            rng = sampler.rng
+            # jacobian-aware pair MIS weight (gpt.rs:284-316)
+            w = 1.0 / (1.0 + jac)
+        else:
+            _, shifted, rng = _eval_from_pixel(sc, settings, filt, spix, pss, rng)
+            # PSS replay shift has jacobian 1 -> 1/(1+J) = 1/2
+            w = jnp.full(chunk, 0.5)
+        # forward differences: G[p] = I[p + e] - I[p], stored at the
+        # lower-index pixel of the pair
+        grad = (shifted - base) if positive else (base - shifted)
+        gpix = pix if positive else spix
+        gp = gpix.astype(jnp.float32) + 0.5
+        target = gx if is_x else gy
+        tsq = gx_sq if is_x else gy_sq
+        target = add_samples(target, gp, grad * w[..., None], w, width, height)
+        tsq = add_samples(tsq, gp, grad * grad * w[..., None], w, width, height)
+        if is_x:
+            gx, gx_sq = target, tsq
+        else:
+            gy, gy_sq = target, tsq
+    return (primal, gx, gy, primal_sq, gx_sq, gy_sq)
+
+
 def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None,
                shift_mode: str = "reconnect", session=None):
     t0 = time.time()
@@ -66,91 +158,11 @@ def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None,
     seed = task.seed if task else 0
 
     def one_pass(arrays, films, sample_idx, pix_base, *, chunk):
-        """Trace `chunk` pixels starting at linear pixel `base` for one
-        sample. Each pixel's PSS stream depends only on (pix_lin, sample), so
-        chunking the frame across dispatches is bias-free and lets the host
-        keep every dispatch under the TPU relay watchdog."""
-        from dataclasses import replace
-
-        sc = replace(scene, arrays=arrays)
-        primal, gx, gy, primal_sq, gx_sq, gy_sq = films
         pix_lin = pix_base + jnp.arange(chunk, dtype=jnp.uint32)
-        pix = jnp.stack(
-            [(pix_lin % width).astype(jnp.int32), (pix_lin // width).astype(jnp.int32)], -1
+        return gpt_sample_films(
+            scene, config, filt, settings, D, seed, shift_mode,
+            arrays, films, sample_idx, pix_lin,
         )
-        # PSS vector per pixel for this sample
-        rng = Pcg32.new_seq(U64(sample_idx.astype(jnp.uint32) ^ jnp.uint32(seed), pix_lin))
-        us = []
-        for _ in range(D):
-            rng, u = pcg32_next_f32(rng)
-            us.append(u)
-        pss = jnp.stack(us, -1)
-
-        if shift_mode == "reconnect":
-            from .gpt_reconnect import trace_base_record
-            from .mcmc import ReplaySampler
-
-            sampler = ReplaySampler(pss, jnp.zeros(chunk, jnp.int32), rng)
-            sampler, u_film = sampler.next_2d()
-            off, fw = filt.sample(u_film)
-            p_film = pix.astype(jnp.float32) + 0.5 + off
-            ray_o, ray_d = generate_rays(sc.camera, p_film)
-            base, rec, sampler = trace_base_record(
-                sc, settings, ray_o, ray_d, sampler,
-                min_dist=config.shift_mapping_min_dist,
-                min_rough=config.shift_mapping_min_roughness,
-            )
-            base = base * fw[..., None]
-            rng = sampler.rng
-        else:
-            rec = None
-            p_film, base, rng = _eval_from_pixel(sc, settings, filt, pix, pss, rng)
-        w1 = jnp.ones(chunk)
-        primal = add_samples(primal, p_film, base, w1, width, height)
-        primal_sq = add_samples(primal_sq, p_film, base * base, w1, width, height)
-
-        stride = config.stride
-        for off in OFFSETS:  # offsets are static at trace time
-            positive = int(off[0] + off[1]) > 0
-            is_x = off[0] != 0
-            off_j = jnp.asarray(off * stride)
-            spix = _reflect_offset(pix, off_j, width, height)
-            if shift_mode == "reconnect":
-                from .gpt_reconnect import trace_shift_reconnect
-                from .mcmc import ReplaySampler
-
-                sampler = ReplaySampler(pss, jnp.zeros(chunk, jnp.int32), rng)
-                sampler, u_film = sampler.next_2d()
-                soff, sfw = filt.sample(u_film)
-                sp_film = spix.astype(jnp.float32) + 0.5 + soff
-                s_o, s_d = generate_rays(sc.camera, sp_film)
-                shifted, jac, sampler = trace_shift_reconnect(
-                    sc, settings, s_o, s_d, sampler, rec,
-                    min_dist=config.shift_mapping_min_dist,
-                    min_rough=config.shift_mapping_min_roughness,
-                )
-                shifted = shifted * sfw[..., None]
-                rng = sampler.rng
-                # jacobian-aware pair MIS weight (gpt.rs:284-316)
-                w = 1.0 / (1.0 + jac)
-            else:
-                _, shifted, rng = _eval_from_pixel(sc, settings, filt, spix, pss, rng)
-                # PSS replay shift has jacobian 1 -> 1/(1+J) = 1/2
-                w = jnp.full(chunk, 0.5)
-            # forward differences: G[p] = I[p + e] - I[p], stored at the
-            # lower-index pixel of the pair
-            grad = (shifted - base) if positive else (base - shifted)
-            gpix = pix if positive else spix
-            gp = gpix.astype(jnp.float32) + 0.5
-            target = gx if is_x else gy
-            tsq = gx_sq if is_x else gy_sq
-            target = add_samples(target, gp, grad * w[..., None], w, width, height)
-            tsq = add_samples(tsq, gp, grad * grad * w[..., None], w, width, height)
-            if is_x:
-                gx, gx_sq = target, tsq
-            else:
-                gy, gy_sq = target, tsq
-        return (primal, gx, gy, primal_sq, gx_sq, gy_sq)
 
     import functools
     import os
@@ -211,11 +223,23 @@ def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None,
             None, iters=config.reconstruction_iter,
         )
 
+    from ..stats import profiler_from_env
+
+    prof = profiler_from_env()
     for s in range(config.spp):
         base = base0 if s == 0 else 0
         while base < npix:
             c = min(chunk, npix - base)
-            films = get_pass(c)(scene.arrays, films, jnp.uint32(s), jnp.uint32(base))
+            if prof is not None:
+                with prof.profile(f"gpt_pass[pix={c}]"):
+                    films = get_pass(c)(
+                        scene.arrays, films, jnp.uint32(s), jnp.uint32(base)
+                    )
+                    jax.block_until_ready(films)
+            else:
+                films = get_pass(c)(
+                    scene.arrays, films, jnp.uint32(s), jnp.uint32(base)
+                )
             base += c
         if progress_cb:
             jax.block_until_ready(films)
@@ -232,6 +256,8 @@ def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None,
             write_image(ipath, np.asarray(_recon_current(films)))
             render_stats.record(time.time() - t0, s + 1, ipath)
     jax.block_until_ready(films)
+    if prof is not None:
+        prof.print_report()
 
     primal = develop(films[0], width, height)
     gx = develop(films[1], width, height)

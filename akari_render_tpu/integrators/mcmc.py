@@ -312,9 +312,17 @@ def render_mcmc(scene: Scene, config: MCMCConfig, task=None, progress_cb=None,
             develop(film_c, width, height, splat_scale=b_est / spp_so_far)
         )
 
+    from ..stats import profiler_from_env
+
+    prof = profiler_from_env()
     while done < mutations_per_chain:
         step = min(per_dispatch, mutations_per_chain - done)
-        carry = advance(carry, jnp.int32(step))
+        if prof is not None:
+            with prof.profile(f"mcmc_advance[steps={step}]"):
+                carry = advance(carry, jnp.int32(step))
+                jax.block_until_ready(carry)
+        else:
+            carry = advance(carry, jnp.int32(step))
         done += step
         pass_no += 1
         last = done >= mutations_per_chain
@@ -334,6 +342,8 @@ def render_mcmc(scene: Scene, config: MCMCConfig, task=None, progress_cb=None,
             write_image(ipath, _current_estimate(carry))
             render_stats.record(time.time() - t_start, eff, ipath)
     jax.block_until_ready(carry)
+    if prof is not None:
+        prof.print_report()
     (pss, cur_p, cur_color, cur_f, chain_rng, film, b, b_cnt, n_acc, n_mut) = carry
 
     # ---- reconstruct (mcmc_opt.rs:600-622) ----

@@ -151,10 +151,18 @@ def render_pt(scene: Scene, config: PTConfig, task=None, progress_cb=None,
             n = -(-remaining // max_chunk)
             spp_chunk = -(-remaining // n)
 
+    from ..stats import profiler_from_env
+
+    prof = profiler_from_env()
     pass_no = 0
     while done < config.spp:
         chunk = min(spp_chunk, config.spp - done)
-        film = get_pass(chunk)(scene.arrays, film, jnp.uint32(done))
+        if prof is not None:
+            with prof.profile(f"pt_pass[spp={chunk}]"):
+                film = get_pass(chunk)(scene.arrays, film, jnp.uint32(done))
+                jax.block_until_ready(film)
+        else:
+            film = get_pass(chunk)(scene.arrays, film, jnp.uint32(done))
         done += chunk
         pass_no += 1
         last = done >= config.spp
@@ -181,6 +189,8 @@ def render_pt(scene: Scene, config: PTConfig, task=None, progress_cb=None,
             write_image(ipath, np.asarray(develop(film, width, height)))
             render_stats.record(time.time() - t0, done, ipath)
     jax.block_until_ready(film)
+    if prof is not None:
+        prof.print_report()
     stats["total_time"] = time.time() - t0
     stats["spp_total"] = done
     if session is not None:

@@ -6,27 +6,34 @@ natural one for a replicated-scene renderer):
 
 - scene arrays are REPLICATED on every chip (cbox ~KBs, big scenes ~100s MB —
   fits HBM; sharded-BVH is future work);
-- pixels (lanes) are SHARDED over the mesh axis "d": each chip traces its
-  slice of the image with its own sample streams;
-- the film is merged with a `psum` over ICI at pass boundaries — the
-  collective replacement for the reference's device-atomic film writes
-  (film.rs:186-228).
+- PT shards PIXELS: lane i of a shard IS film row i of that shard, so a pass
+  needs ZERO inter-chip communication — the film only gathers at develop;
+- MCMC shards CHAINS: each chip runs its chain slice against a private
+  full-frame splat film (stacked [ndev, ...], sharded on the stack axis);
+  the films and the normalization counters sum once at develop — one
+  collective per render instead of per pass;
+- GPT shards PIXELS with the same private-film trick (gradient splats can
+  cross shard borders, so films stay per-device and sum at develop).
 
-MCMC shards chains, GPT shards tiles — same pattern, different lane meaning.
+Sample streams are keyed by absolute pixel/chain/sample ids, never by device
+index, so every sharded renderer is bit-compatible with its single-chip
+version up to float reduction order.
 """
 from __future__ import annotations
 
+import time
 from dataclasses import replace
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..camera import generate_rays
-from ..core.film import Film, add_samples
+from ..core.film import Film, develop
+from ..core.filters import filter_from_config
 from ..core.pcg import Pcg32, U64
 from ..core.samplers import IndependentSampler
 from ..integrators.common import PTSettings, trace_paths
@@ -39,39 +46,75 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.asarray(devs), ("d",))
 
 
-def make_sharded_pass(scene, settings: PTSettings, filt, width: int, height: int, mesh: Mesh):
-    """Build the jitted multi-chip one-pass function.
+def _settings_from_config(config) -> PTSettings:
+    return PTSettings(
+        max_depth=config.max_depth,
+        rr_depth=config.rr_depth,
+        use_nee=config.use_nee,
+        indirect_only=getattr(config, "indirect_only", False),
+        force_diffuse=getattr(config, "force_diffuse", False),
+        clamp_indirect=getattr(config, "clamp_indirect", 1000.0),
+    )
 
-    Lanes = all pixels, sharded over "d". Returns fn(arrays, film, pass_idx)
-    with film replicated (psum-merged every pass).
-    """
+
+def _stack_films(n: int, width: int, height: int, count: int = 1):
+    """Per-device private films: [ndev, ...]-stacked Film pytree(s)."""
+    def stack(film):
+        return jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (n,) + x.shape).copy(), film
+        )
+
+    films = tuple(stack(Film.new(width, height)) for _ in range(count))
+    return films[0] if count == 1 else films
+
+
+def _sum_films(stacked):
+    return jax.tree_util.tree_map(lambda x: x.sum(axis=0), stacked)
+
+
+# ---- PT -----------------------------------------------------------------------
+def make_sharded_pass(scene, settings: PTSettings, filt, width: int, height: int,
+                      mesh: Mesh, spp_chunk: int = 1, seed: int = 0,
+                      sampler_config=None):
+    """Build the jitted multi-chip pass: `spp_chunk` samples of every pixel
+    per dispatch, pixels sharded over "d", the sample loop INSIDE jit
+    (lax.fori_loop) like the single-chip render_pt pass."""
     npix = width * height
     ndev = mesh.devices.size
     assert npix % ndev == 0, f"{npix} pixels not divisible by {ndev} devices"
+    from ..core.lds import make_sampler
 
-    def shard_body(arrays, film, pix, pass_idx):
-        # pix: [npix/ndev] local pixel ids; scene replicated, FILM SHARDED:
-        # lane i of the shard IS film row pix[i], so accumulation is a pure
-        # elementwise add and a pass needs ZERO inter-chip communication —
-        # the film only gathers at develop time. (The psum-every-pass scheme
-        # is only needed for splatting integrators; see render_mcmc_sharded.)
+    def shard_body(arrays, film, pix, start_sample):
+        # pix: [npix/ndev] absolute pixel ids; scene replicated, FILM SHARDED:
+        # lane i of the shard IS film row pix[i] -> pure elementwise add,
+        # ZERO inter-chip communication per pass.
         sc = replace(scene, arrays=arrays)
-        seq = U64(jnp.broadcast_to(pass_idx.astype(jnp.uint32), pix.shape), pix)
-        sampler = IndependentSampler(Pcg32.new_seq(seq))
-        sampler, u_film = sampler.next_2d()
-        off, fw = filt.sample(u_film)
-        p_film = (
-            jnp.stack(
-                [(pix % width).astype(jnp.float32), (pix // width).astype(jnp.float32)], -1
-            )
-            + 0.5
-            + off
-        )
-        ray_o, ray_d = generate_rays(sc.camera, p_film)
-        radiance, aux, _ = trace_paths(sc, settings, ray_o, ray_d, sampler)
-        from ..core.film import add_samples_aligned
 
-        return add_samples_aligned(film, radiance, fw)
+        def one_sample(sample_idx, film):
+            sampler = make_sampler(
+                sampler_config, pix, sample_idx.astype(jnp.uint32), seed
+            )
+            sampler, u_film = sampler.next_2d()
+            off, fw = filt.sample(u_film)
+            p_film = (
+                jnp.stack(
+                    [
+                        (pix % width).astype(jnp.float32),
+                        (pix // width).astype(jnp.float32),
+                    ],
+                    -1,
+                )
+                + 0.5
+                + off
+            )
+            ray_o, ray_d = generate_rays(sc.camera, p_film)
+            radiance, aux, _ = trace_paths(sc, settings, ray_o, ray_d, sampler)
+            from ..core.film import add_samples_aligned
+
+            return add_samples_aligned(film, radiance, fw)
+
+        start = start_sample.astype(jnp.int32)
+        return jax.lax.fori_loop(start, start + spp_chunk, one_sample, film)
 
     sharded = shard_map(
         shard_body,
@@ -82,37 +125,332 @@ def make_sharded_pass(scene, settings: PTSettings, filt, width: int, height: int
     )
 
     @jax.jit
-    def one_pass(arrays, film, pass_idx):
+    def one_pass(arrays, film, start_sample):
         pix = jnp.arange(npix, dtype=jnp.uint32)
-        return sharded(arrays, film, pix, pass_idx)
+        return sharded(arrays, film, pix, start_sample)
 
     return one_pass
 
 
-def render_pt_sharded(scene, config, task=None, mesh: Mesh | None = None, progress_cb=None):
-    """Multi-chip PT render (host pass loop, replicated film)."""
-    import time
-
-    from ..core.film import develop
-    from ..core.filters import filter_from_config
+def render_pt_sharded(scene, config, task=None, mesh: Mesh | None = None,
+                      progress_cb=None, checkpoint_path=None,
+                      checkpoint_every: int = 0, session=None):
+    """Multi-chip PT render: in-jit spp chunking, adaptive watchdog pass
+    sizing, stats/save-intermediate sessions, checkpoint/resume — feature
+    parity with the single-chip render_pt host loop."""
+    import os
 
     mesh = mesh or make_mesh()
     width, height = scene.camera.width, scene.camera.height
     filt = filter_from_config(task.filter_config if task else None)
-    settings = PTSettings(
-        max_depth=config.max_depth,
-        rr_depth=config.rr_depth,
-        use_nee=config.use_nee,
-        indirect_only=config.indirect_only,
-        force_diffuse=config.force_diffuse,
-        clamp_indirect=config.clamp_indirect,
-    )
-    one_pass = make_sharded_pass(scene, settings, filt, width, height, mesh)
+    settings = _settings_from_config(config)
+    seed = task.seed if task else 0
+    sampler_config = task.sampler if task else None
+    spp_chunk = min(config.spp, config.spp_per_pass)
+
+    pass_fns: dict = {}
+
+    def get_pass(chunk):
+        if chunk not in pass_fns:
+            pass_fns[chunk] = make_sharded_pass(
+                scene, settings, filt, width, height, mesh,
+                spp_chunk=chunk, seed=seed, sampler_config=sampler_config,
+            )
+        return pass_fns[chunk]
+
+    from ..stats import RenderStats
+
+    render_stats = RenderStats()
     film = Film.new(width, height)
+    done = 0
+    if checkpoint_path:
+        from ..checkpoint import load_checkpoint
+
+        ck = load_checkpoint(checkpoint_path)
+        if ck is not None and ck[1].get("kind") == "pt":
+            film, meta, _ = ck
+            done = int(meta.get("samples_done", 0))
+    stats = {"time": [], "spp": []}
     t0 = time.time()
-    for p in range(config.spp):
-        film = one_pass(scene.arrays, film, jnp.uint32(p))
+
+    # adaptive watchdog sizing (same probe scheme as the single-chip loop)
+    from ..scene import _on_tpu
+
+    try:
+        budget = float(os.environ.get("AKR_MAX_PASS_SECONDS", "40"))
+    except ValueError:
+        budget = 40.0
+    if (
+        _on_tpu()
+        and budget > 0
+        and spp_chunk > 1
+        and config.spp - done > 2
+        and os.environ.get("AKR_ADAPTIVE_PASS", "1") != "0"
+    ):
+        probe = get_pass(1)
+        film = probe(scene.arrays, film, jnp.uint32(done))
+        jax.block_until_ready(film)
+        done += 1
+        tp = time.time()
+        film = probe(scene.arrays, film, jnp.uint32(done))
+        jax.block_until_ready(film)
+        done += 1
+        per_spp = time.time() - tp
+        max_chunk = max(1, int(budget / max(per_spp, 1e-6)))
+        remaining = config.spp - done
+        if spp_chunk > max_chunk:
+            n = -(-remaining // max_chunk)
+            spp_chunk = -(-remaining // n)
+
+    pass_no = 0
+    while done < config.spp:
+        chunk = min(spp_chunk, config.spp - done)
+        film = get_pass(chunk)(scene.arrays, film, jnp.uint32(done))
+        done += chunk
+        pass_no += 1
+        last = done >= config.spp
+        if progress_cb and (pass_no % 16 == 0 or last):
+            jax.block_until_ready(film)
+            stats["time"].append(time.time() - t0)
+            stats["spp"].append(done)
+            progress_cb(done, config.spp, stats)
+        if checkpoint_path and checkpoint_every and pass_no % checkpoint_every == 0:
+            from ..checkpoint import save_checkpoint
+
+            jax.block_until_ready(film)
+            save_checkpoint(
+                checkpoint_path, film, {"kind": "pt", "samples_done": done}
+            )
+        if session is not None and session.save_intermediate:
+            from pathlib import Path
+
+            from ..core.image_io import write_image
+
+            jax.block_until_ready(film)
+            ipath = str(Path(session.out_dir) / f"{session.name}-{done}.exr")
+            write_image(ipath, np.asarray(develop(film, width, height)))
+            render_stats.record(time.time() - t0, done, ipath)
     jax.block_until_ready(film)
-    stats = {"total_time": time.time() - t0, "spp_total": config.spp, "devices": mesh.devices.size}
+    stats["total_time"] = time.time() - t0
+    stats["spp_total"] = done
+    stats["devices"] = mesh.devices.size
+    if session is not None:
+        render_stats.record(stats["total_time"], done)
+        if session.save_stats:
+            render_stats.write(session)
     img = np.asarray(develop(film, width, height))
+    return img, stats
+
+
+# ---- MCMC ----------------------------------------------------------------------
+def render_mcmc_sharded(scene, config, task=None, mesh: Mesh | None = None,
+                        progress_cb=None, session=None):
+    """Multi-chip Kelemen PSSMLT: chains sharded over "d", one private
+    full-frame splat film per device (summed once at develop). Chain sample
+    streams are keyed by absolute chain index, so the render is statistically
+    identical to the single-chip render_mcmc for the same config."""
+    from ..integrators.mcmc import (
+        _mcmc_settings,
+        bootstrap_chains,
+        make_mutate_step,
+    )
+
+    t_start = time.time()
+    mesh = mesh or make_mesh()
+    ndev = mesh.devices.size
+    width, height = scene.camera.width, scene.camera.height
+    npixels = width * height
+    filt = filter_from_config(task.filter_config if task else None)
+    settings, D = _mcmc_settings(config)
+    C = -(-config.n_chains // ndev) * ndev  # round chains up to the mesh
+    seed = task.seed if task else 0
+
+    pss, cur_p, cur_color, cur_f, b_init, nb = bootstrap_chains(
+        scene, settings, filt, config, D, C, seed
+    )
+    chain_rng = IndependentSampler.new(
+        jnp.arange(C, dtype=jnp.uint32), seed=seed ^ 0xC4A1
+    ).rng
+    mutate_step = make_mutate_step(scene, settings, filt, config, D)
+
+    def shard_body(arrays, pss, cur_p, cur_color, cur_f, rng, film_stack,
+                   b, b_cnt, n_acc, n_mut, n_steps):
+        # each shard: its chain slice + ITS OWN full film ([1, ...] slice)
+        film = jax.tree_util.tree_map(lambda x: x[0], film_stack)
+        carry = (pss, cur_p, cur_color, cur_f, rng, film,
+                 b[0], b_cnt[0], n_acc[0], n_mut[0])
+        carry = jax.lax.fori_loop(0, n_steps, mutate_step, carry)
+        (pss, cur_p, cur_color, cur_f, rng, film, b0, bc0, na0, nm0) = carry
+        film_stack = jax.tree_util.tree_map(lambda x: x[None], film)
+        return (pss, cur_p, cur_color, cur_f, rng, film_stack,
+                b0[None], bc0[None], na0[None], nm0[None])
+
+    sharded = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(),) + (P("d"),) * 10 + (P(),),
+        out_specs=(P("d"),) * 10,
+        check_rep=False,
+    )
+    advance = jax.jit(sharded)
+
+    film_stack = _stack_films(ndev, width, height)
+    zeros_f = jnp.zeros((ndev,), jnp.float32)
+    zeros_i = jnp.zeros((ndev,), jnp.int32)
+    state = (pss, cur_p, cur_color, cur_f, chain_rng, film_stack,
+             zeros_f, zeros_i, zeros_i, zeros_i)
+
+    total_mutations = npixels * config.spp
+    mutations_per_chain = max(1, total_mutations // C)
+    per_dispatch = max(1, (npixels * config.spp_per_pass) // C)
+
+    import os
+
+    from ..scene import _on_tpu
+
+    try:
+        budget = float(os.environ.get("AKR_MAX_PASS_SECONDS", "40"))
+    except ValueError:
+        budget = 40.0
+    done = 0
+    if (
+        _on_tpu()
+        and budget > 0
+        and per_dispatch > 1
+        and mutations_per_chain > 2
+        and os.environ.get("AKR_ADAPTIVE_PASS", "1") != "0"
+    ):
+        state = advance(scene.arrays, *state, jnp.int32(1))
+        jax.block_until_ready(state)
+        tp = time.time()
+        state = advance(scene.arrays, *state, jnp.int32(1))
+        jax.block_until_ready(state)
+        done += 2
+        per_step = time.time() - tp
+        per_dispatch = max(1, min(per_dispatch, int(budget / max(per_step, 1e-6))))
+
+    stats_series = {"time": [], "spp": []}
+    pass_no = 0
+    while done < mutations_per_chain:
+        step = min(per_dispatch, mutations_per_chain - done)
+        state = advance(scene.arrays, *state, jnp.int32(step))
+        done += step
+        pass_no += 1
+        if progress_cb and (pass_no % 4 == 0 or done >= mutations_per_chain):
+            jax.block_until_ready(state)
+            stats_series["time"].append(time.time() - t_start)
+            stats_series["spp"].append(done * C / npixels)
+            progress_cb(done, mutations_per_chain, stats_series)
+    jax.block_until_ready(state)
+    (_, _, _, _, _, film_stack, b, b_cnt, n_acc, n_mut) = state
+
+    film = _sum_films(film_stack)
+    b_total = (b_init * nb + float(b.sum())) / (nb + int(b_cnt.sum()))
+    eff_spp = done * C / npixels
+    splat_scale = b_total / eff_spp
+    img = np.asarray(develop(film, width, height, splat_scale=splat_scale))
+    stats = {
+        "total_time": time.time() - t_start,
+        "b": b_total,
+        "acceptance": float(n_acc.sum()) / max(1, int(n_mut.sum())),
+        "spp_total": eff_spp,
+        "devices": ndev,
+    }
+
+    if config.direct_spp > 0:
+        from ..config import PTConfig
+
+        direct_cfg = PTConfig(
+            spp=config.direct_spp,
+            max_depth=1,
+            rr_depth=config.rr_depth,
+            use_nee=config.use_nee,
+            spp_per_pass=min(config.direct_spp, 32),
+        )
+        direct_img, dstats = render_pt_sharded(scene, direct_cfg, task, mesh=mesh)
+        img = img + direct_img
+        stats["direct_time"] = dstats["total_time"]
+        stats["total_time"] = time.time() - t_start
+    return img, stats
+
+
+# ---- GPT -----------------------------------------------------------------------
+def render_gpt_sharded(scene, config, task=None, mesh: Mesh | None = None,
+                       progress_cb=None, shift_mode: str = "reconnect",
+                       session=None):
+    """Multi-chip gradient-domain PT: pixels sharded over "d"; each device
+    accumulates six private full-frame films (gradient splats cross shard
+    borders) summed once before reconstruction. Per-pixel PSS streams are
+    keyed by absolute pixel id, so output matches single-chip render_gpt."""
+    from ..integrators.gpt import gpt_sample_films, screened_poisson
+    from ..integrators.mcmc import sample_dimension
+
+    t0 = time.time()
+    mesh = mesh or make_mesh()
+    ndev = mesh.devices.size
+    width, height = scene.camera.width, scene.camera.height
+    npix = width * height
+    assert npix % ndev == 0, f"{npix} pixels not divisible by {ndev} devices"
+    filt = filter_from_config(task.filter_config if task else None)
+    settings = PTSettings(
+        max_depth=config.max_depth, rr_depth=config.rr_depth, use_nee=config.use_nee
+    )
+    D = sample_dimension(config.max_depth)
+    seed = task.seed if task else 0
+
+    def shard_body(arrays, films_stack, pix, sample_idx):
+        films = tuple(
+            jax.tree_util.tree_map(lambda x: x[0], f) for f in films_stack
+        )
+        films = gpt_sample_films(
+            scene, config, filt, settings, D, seed, shift_mode,
+            arrays, films, sample_idx, pix,
+        )
+        return tuple(
+            jax.tree_util.tree_map(lambda x: x[None], f) for f in films
+        )
+
+    sharded = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P("d"), P("d"), P()),
+        out_specs=P("d"),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def one_pass(arrays, films_stack, sample_idx):
+        pix = jnp.arange(npix, dtype=jnp.uint32)
+        return sharded(arrays, films_stack, pix, sample_idx)
+
+    films_stack = _stack_films(ndev, width, height, count=6)
+    for s in range(config.spp):
+        films_stack = one_pass(scene.arrays, films_stack, jnp.uint32(s))
+        if progress_cb:
+            jax.block_until_ready(films_stack)
+            progress_cb(s + 1, config.spp, {"time": [time.time() - t0], "spp": [s + 1]})
+    jax.block_until_ready(films_stack)
+
+    films = tuple(_sum_films(f) for f in films_stack)
+    primal = develop(films[0], width, height)
+    gx = develop(films[1], width, height)
+    gy = develop(films[2], width, height)
+    primal_sq = develop(films[3], width, height)
+    gx_sq = develop(films[4], width, height)
+    gy_sq = develop(films[5], width, height)
+    var_p = jnp.maximum(primal_sq - primal**2, 1e-8)
+    var_gx = jnp.maximum(gx_sq - gx**2, 1e-8)
+    var_gy = jnp.maximum(gy_sq - gy**2, 1e-8)
+    recon = screened_poisson(
+        primal, gx, gy,
+        None if config.uniform_weights else (var_p, var_gx, var_gy),
+        iters=config.reconstruction_iter,
+    )
+    img = np.asarray(recon)
+    stats = {
+        "total_time": time.time() - t0,
+        "spp_total": config.spp,
+        "devices": ndev,
+        "primal": np.asarray(primal),
+    }
     return img, stats

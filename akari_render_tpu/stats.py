@@ -39,6 +39,16 @@ class RenderStats:
         return p
 
 
+def profiler_from_env():
+    """AKR_PROFILE=1 turns on per-stage dispatch profiling in the
+    integrator host loops (the reference wires DispatchProfiler into wfpt,
+    profile.rs:77-121; we gate it because profiling forces a block per
+    dispatch, which serializes the host-device pipeline)."""
+    import os
+
+    return DispatchProfiler() if os.environ.get("AKR_PROFILE") else None
+
+
 class DispatchProfiler:
     """Per-stage wall-clock aggregation (profile.rs:25-122): total/min/max/
     avg per named stage. Use as a context manager around blocking dispatches."""

@@ -204,12 +204,17 @@ class _Compiler:
             c = self.compile_node(node["color"]["id"])
             out = ("glass", c, c, self.compile_node(node["ior"]["id"]), self.compile_node(node["roughness"]["id"]))
         elif t == "plastic":
+            # scenegraph schema: kd/ks/eta/roughness (shader.rs:161-167);
+            # optional sigma_a/thickness extend it to the full Tungsten model
+            # the reference's PlasticBsdf implements (svm/mod.rs:91-97)
             out = (
                 "plastic",
                 self.compile_node(node["kd"]["id"]),
                 self.compile_node(node["ks"]["id"]),
                 self.compile_node(node["eta"]["id"]),
                 self.compile_node(node["roughness"]["id"]),
+                self.compile_node(node["sigma_a"]["id"]) if "sigma_a" in node else -1,
+                self.compile_node(node["thickness"]["id"]) if "thickness" in node else -1,
             )
         elif t == "metal":
             out = ("metal", node["eta"], self.compile_node(node["roughness"]["id"]))

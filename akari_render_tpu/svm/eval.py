@@ -197,7 +197,18 @@ class _Evaluator:
             from .texture import perlin_noise
 
             scale = self.f(node[2])
-            val = perlin_noise(ctx.uv * scale[..., None], dim=node[1])
+            dim = int(node[1])
+            # Blender semantics: 1-2D sample texture space (uv), 3D samples
+            # the position vector, 4D adds a w phase (0 without a socket)
+            if dim <= 2:
+                coords = ctx.uv[..., :dim]
+            elif dim == 3:
+                coords = ctx.p
+            else:
+                coords = jnp.concatenate(
+                    [ctx.p, jnp.zeros(ctx.p.shape[:-1] + (1,))], axis=-1
+                )
+            val = perlin_noise(coords * scale[..., None], dim=dim)
             return ("f", val)
         if op == "mapping":
             v = self.f3(node[2])
@@ -273,24 +284,19 @@ class _Evaluator:
         )
 
     def _plastic(self, node) -> Surface:
-        """Coated diffuse (ref svm/surface/plastic.rs, simplified to the
-        energy-split CoatedBsdf combinator used by principled)."""
+        """Tungsten rough plastic with internal scattering (ref
+        svm/surface/plastic.rs:38-178): both-way Fresnel transmission,
+        1/eta^2 compression, kd/(1-kd*Fdr) multiple-scattering compensation,
+        optional absorption sigma_a*thickness. The scenegraph's ks socket is
+        unused, as in the reference (coat color is white)."""
+        from .surface import PlasticBsdf
+
         kd = self.color(node[1])
-        ks = self.color(node[2])
         eta = self.f(node[3])
         roughness = self.f(node[4])
-        dist = TrowbridgeReitz.from_roughness(roughness)
-        fresnel = lambda c: fr_dielectric(c, eta)[..., None] * jnp.ones(3)
-        spec = MicrofacetReflection(ks, fresnel, dist)
-        diff = DiffuseBsdf(kd * INV_PI)
-        table = get_table("ggx_dielectric_s")
-        from ..core.math import Frame
-
-        def e_top(wo):
-            alb = ggx_dielectric_albedo(table, roughness, Frame.abs_cos_theta(wo), eta)
-            return ks * alb[..., None]
-
-        return CoatedBsdf(top=spec, bottom=diff, e_top_fn=e_top)
+        sigma_a = self.color(node[5]) if len(node) > 5 and node[5] != -1 else None
+        thickness = self.f(node[6]) if len(node) > 6 and node[6] != -1 else None
+        return PlasticBsdf(kd, eta, roughness, sigma_a, thickness)
 
     def _principled(self, inp: dict) -> Surface:
         """Blender 4.0 Principled BSDF — mirrors

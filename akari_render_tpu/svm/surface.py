@@ -313,6 +313,96 @@ class BsdfMixture(Surface):
         return normalize(self.a.ns(shape) + self.b.ns(shape))
 
 
+def fr_dielectric_integral(eta):
+    """Hemispherical (diffuse) Fresnel reflectance Fdr(eta), the polynomial
+    fits of surface/mod.rs:1127-1144. eta: [N]."""
+    lt = eta * (eta * (eta * -0.90663979 + 2.23559031) + -2.09069066) + 0.75985009
+    inv = 1.0 / jnp.maximum(eta, 1e-6)
+    gt = inv * (inv * -1.18995376 + 0.21762732) + 0.97945724
+    out = jnp.where(eta < 1.0, lt, gt)
+    return jnp.where(eta == 1.0, 0.0, out)
+
+
+class PlasticBsdf(Surface):
+    """Tungsten-style rough plastic with internal scattering
+    (ref svm/surface/plastic.rs:38-178, after Bitterli's RoughPlasticBsdf):
+    a dielectric GGX coat over a diffuse substrate whose response is scaled
+    by both-way Fresnel transmission (1-Fi)(1-Fo), the 1/eta^2 radiance
+    compression, the multiple-scattering compensation kd/(1 - kd*Fdr), and
+    the absorption term a = exp(-sigma_a*thickness*(1/cos_i + 1/cos_o))."""
+
+    def __init__(self, kd, eta, roughness, sigma_a=None, thickness=None):
+        from ..core.color import luminance
+        from .microfacet import TrowbridgeReitz, fr_dielectric
+
+        n = kd.shape[:-1]
+        sigma_a = jnp.zeros(n + (3,)) if sigma_a is None else sigma_a
+        thickness = jnp.ones(n) if thickness is None else thickness
+        fdr = fr_dielectric_integral(eta)
+        self.substrate = DiffuseBsdf(
+            kd / jnp.maximum(1.0 - kd * fdr[..., None], 1e-4) * INV_PI
+        )
+        dist = TrowbridgeReitz.from_roughness(roughness)
+        self._fr = lambda c: fr_dielectric(c, eta)
+        fresnel3 = lambda c: self._fr(c)[..., None] * jnp.ones(3)
+        self.coat = MicrofacetReflection(jnp.ones(n + (3,)), fresnel3, dist)
+        self.eta = eta
+        self.sigma_a = sigma_a * thickness[..., None]
+        avg_transmittance = jnp.exp(-2.0 * luminance(sigma_a) * thickness)
+        self.kd_weight = luminance(kd) * avg_transmittance
+
+    def _substrate_weight(self, fo):
+        w = self.kd_weight * (1.0 - fo)
+        return jnp.where(w == 0.0, 0.0, w / jnp.maximum(w + fo, 1e-20))
+
+    def evaluate(self, wo, wi):
+        f_coat, pdf_coat = self.coat.evaluate(wo, wi)
+        fi = self._fr(Frame.abs_cos_theta(wi))
+        fo = self._fr(Frame.abs_cos_theta(wo))
+        a = jnp.exp(
+            -self.sigma_a
+            * (
+                1.0 / jnp.maximum(Frame.abs_cos_theta(wi), 1e-6)
+                + 1.0 / jnp.maximum(Frame.abs_cos_theta(wo), 1e-6)
+            )[..., None]
+        )
+        f_sub, pdf_sub = self.substrate.evaluate(wo, wi)
+        scale = ((1.0 - fi) * (1.0 - fo) / jnp.maximum(self.eta**2, 1e-6))[..., None]
+        f = f_coat + f_sub * scale * a
+        w = self._substrate_weight(fo)
+        pdf = pdf_coat * (1.0 - w) + pdf_sub * w
+        return f, pdf
+
+    def sample_wi(self, wo, u_select, u_sample):
+        fo = self._fr(Frame.abs_cos_theta(wo))
+        w = self._substrate_weight(fo)
+        pick_sub, remapped = weighted_discrete_choice2_and_remap(w, u_select)
+        ws, vs = self.substrate.sample_wi(wo, remapped, u_sample)
+        wc, vc = self.coat.sample_wi(wo, remapped, u_sample)
+        return (
+            jnp.where(pick_sub[..., None], ws, wc),
+            jnp.where(pick_sub, vs, vc),
+        )
+
+    def albedo(self, wo):
+        fo = self._fr(Frame.abs_cos_theta(wo))
+        w = self._substrate_weight(fo)
+        return (
+            self.coat.albedo(wo) * (1.0 - w)[..., None]
+            + self.substrate.albedo(wo) * w[..., None]
+        )
+
+    def roughness(self, wo, u_select):
+        fo = self._fr(Frame.abs_cos_theta(wo))
+        w = self._substrate_weight(fo)
+        pick_sub, remapped = weighted_discrete_choice2_and_remap(w, u_select)
+        return jnp.where(
+            pick_sub,
+            self.substrate.roughness(wo, remapped),
+            self.coat.roughness(wo, remapped),
+        )
+
+
 class CoatedBsdf(Surface):
     """Energy-split layering: top lobe + (1 - E_top) * bottom (surface/mod.rs:476-567)."""
 

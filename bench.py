@@ -1,9 +1,17 @@
-"""Benchmark: cbox path-tracing throughput on the current default device.
+"""Benchmark: path-tracing throughput on the current default device.
 
-Protocol (BASELINE.md): Mpaths/s on the reference cbox workload
-(scenes/cbox/pt.json geometry/method; resolution and spp scaled to a fixed
-time budget). "Paths" = camera samples (spp x pixels); each path traces up to
-max_depth bounces with NEE. Prints ONE JSON line for the driver.
+Protocol (BASELINE.md): Mpaths/s on (a) the reference cbox workload
+(scenes/cbox, 1024x1024) and (b) the classroom-class fixture
+(scenes/classroom, 1920x1080, ~590k effective tris, 8 lights, instanced
+desks) — the driver north-star pair. "Paths" = camera samples (spp x
+pixels); each path traces up to max_depth bounces with NEE (2 rays/bounce).
+
+Prints ONE JSON line for the driver: the primary metric is cbox Mpaths/s
+(vs_baseline-comparable across rounds); classroom numbers + a first-order
+compute-utilization estimate ride in "detail".
+
+Env: BENCH_RES / BENCH_SPP / BENCH_SCENE override cbox; BENCH_SKIP_CLASSROOM=1
+drops the second workload (e.g. for quick local runs).
 """
 from __future__ import annotations
 
@@ -13,16 +21,60 @@ import sys
 import time
 
 
-def main():
-    os.environ.setdefault("AKR_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".cache"))
+def _measure(scene, res_w, res_h, spp, max_depth):
+    """One warm pass + one timed pass; returns (Mpaths/s, seconds)."""
     import jax
     import jax.numpy as jnp
 
-    from akari_render_tpu.config import PTConfig
     from akari_render_tpu.core.film import Film
     from akari_render_tpu.core.filters import GaussianFilter
     from akari_render_tpu.integrators.common import PTSettings
     from akari_render_tpu.integrators.pt import _render_pass_fn
+
+    settings = PTSettings(max_depth=max_depth, rr_depth=5)
+    one_pass = _render_pass_fn(
+        scene, settings, GaussianFilter(1.5), res_w, res_h, spp
+    )
+    film = Film.new(res_w, res_h)
+    film = one_pass(scene.arrays, film, jnp.uint32(0))  # compile + warm
+    jax.block_until_ready(film)
+
+    film2 = Film.new(res_w, res_h)
+    t0 = time.time()
+    film2 = one_pass(scene.arrays, film2, jnp.uint32(spp))
+    jax.block_until_ready(film2)
+    dt = time.time() - t0
+    paths = res_w * res_h * spp
+    return paths / dt / 1e6, dt
+
+
+def _flops_per_path(scene, max_depth):
+    """First-order FLOP model of one path through the current accel tier —
+    the denominator for a roofline-style utilization estimate. Counts only
+    the dominant dense intersection math (Moller-Trumbore ~60 flops/test,
+    AABB slab ~15), ignoring shading (cbox: shade is <10% of time)."""
+    rays_per_bounce = 2  # closest-hit + shadow ray
+    bounces = max_depth
+    T = scene.num_tris
+    if scene.arrays.bvh is None:
+        per_ray = T * 60.0
+    else:
+        K = scene.arrays.bvh["clusters"].num_clusters
+        # measured typical: ~2 select rounds -> 2 cull sweeps + 16 cluster tests
+        per_ray = 2 * K * 15.0 + 16 * 128 * 60.0
+    ia = scene.arrays.instanced
+    if ia is not None:
+        I = int(ia.ibmin.shape[0])
+        Kl = int(ia.clusters.cbmin.shape[0])
+        # instance cull + ~4 instances visited, each ~1 cull sweep + 8 tests
+        per_ray += I * 15.0 + 4 * (Kl * 15.0 + 8 * 128 * 60.0)
+    return per_ray * rays_per_bounce * bounces
+
+
+def main():
+    os.environ.setdefault("AKR_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".cache"))
+    import jax
+
     from akari_render_tpu.scene import load_scene
 
     res = int(os.environ.get("BENCH_RES", "1024"))
@@ -30,24 +82,46 @@ def main():
     scene_path = os.environ.get(
         "BENCH_SCENE", "/root/reference/scenes/cbox/scene.json"
     )
+    max_depth = 12  # reference pt.json config
 
     scene = load_scene(scene_path, width=res, height=res)
-    settings = PTSettings(max_depth=12, rr_depth=5)  # reference pt.json config
-    one_pass = _render_pass_fn(scene, settings, GaussianFilter(1.5), res, res, spp)
-    film = Film.new(res, res)
+    mpaths_s, dt = _measure(scene, res, res, spp, max_depth)
 
-    # warmup = compile + one full pass
-    film = one_pass(scene.arrays, film, jnp.uint32(0))
-    jax.block_until_ready(film)
+    detail = {
+        "res": res,
+        "spp": spp,
+        "max_depth": max_depth,
+        "seconds": round(dt, 3),
+        "device": str(jax.devices()[0]),
+    }
 
-    film2 = Film.new(res, res)
-    t0 = time.time()
-    film2 = one_pass(scene.arrays, film2, jnp.uint32(spp))  # fresh sample range
-    jax.block_until_ready(film2)
-    dt = time.time() - t0
+    # roofline-style utilization estimate: dense-intersection FLOPs per path
+    # over an approximate v5e f32 VPU peak (~19.6 TFLOP/s; the MXU bf16 peak
+    # of 197 TFLOP/s is not reachable by slab/MT elementwise math)
+    VPU_PEAK_F32 = 19.6e12
+    est_flops = _flops_per_path(scene, max_depth) * mpaths_s * 1e6
+    detail["est_intersect_tflops"] = round(est_flops / 1e12, 3)
+    detail["est_vpu_util"] = round(est_flops / VPU_PEAK_F32, 4)
 
-    paths = res * res * spp
-    mpaths_s = paths / dt / 1e6
+    # classroom-class second workload (1920x1080, BASELINE.md north star)
+    classroom = os.path.join(os.path.dirname(__file__), "scenes/classroom/scene.json")
+    if os.path.exists(classroom) and not os.environ.get("BENCH_SKIP_CLASSROOM"):
+        try:
+            spp_c = int(os.environ.get("BENCH_CLASSROOM_SPP", "1"))
+            sc = load_scene(classroom)  # native 1920x1080 camera
+            mp_c, dt_c = _measure(sc, sc.camera.width, sc.camera.height, spp_c, max_depth)
+            est_c = _flops_per_path(sc, max_depth) * mp_c * 1e6
+            detail["classroom"] = {
+                "mpaths_s": round(mp_c, 3),
+                "seconds": round(dt_c, 3),
+                "res": f"{sc.camera.width}x{sc.camera.height}",
+                "spp": spp_c,
+                "est_vpu_util": round(est_c / VPU_PEAK_F32, 4),
+                "secs_to_1024spp": round(dt_c / spp_c * 1024, 1),
+            }
+        except Exception as e:  # classroom failure must not kill the metric
+            detail["classroom"] = {"error": str(e)[:200]}
+
     print(
         json.dumps(
             {
@@ -55,13 +129,7 @@ def main():
                 "value": round(mpaths_s, 3),
                 "unit": "Mpaths/s",
                 "vs_baseline": round(mpaths_s, 3),
-                "detail": {
-                    "res": res,
-                    "spp": spp,
-                    "max_depth": 12,
-                    "seconds": round(dt, 3),
-                    "device": str(jax.devices()[0]),
-                },
+                "detail": detail,
             }
         )
     )

@@ -185,3 +185,61 @@ class TestPallasChunked:
         tri = pack_tris(v0, e1, e2)
         occ = intersect_pallas(tri, o, d, tmin, tmax, None, None, any_hit=True, interpret=True)
         np.testing.assert_array_equal(np.asarray(occ), occ_ref)
+
+
+class TestSuperclusters:
+    """Hierarchical supercluster cull (cluster.py::_intersect_super) must be
+    exact: same hits as the flat cluster rounds and the brute force."""
+
+    @pytest.fixture(autouse=True)
+    def _small_groups(self, monkeypatch):
+        from akari_render_tpu.accel import cluster as cm
+
+        monkeypatch.setattr(cm, "SUPER_GROUP", 8)
+        monkeypatch.setattr(cm, "SUPER_MIN_CLUSTERS", 16)
+        monkeypatch.setenv("AKR_SUPERCLUSTERS", "1")  # opt-in path under test
+
+    def _build(self, soup):
+        v0, e1, e2 = soup
+        bvh = build_bvh(v0, e1, e2)
+        return build_clusters(v0, e1, e2, np.asarray(bvh.order))
+
+    def test_level_built(self, soup):
+        cl = self._build(soup)
+        assert cl.sc_bmin is not None
+        assert cl.cl_bounds.shape[1] == 8
+
+    def test_matches_brute(self, soup, rays):
+        cl = self._build(soup)
+        o, d, tmin, tmax = rays
+        hs = intersect_clusters(cl, o, d, tmin, tmax)
+        hb = _ground_truth(soup, rays)
+        np.testing.assert_array_equal(np.asarray(hs.valid), np.asarray(hb.valid))
+        np.testing.assert_allclose(
+            np.asarray(hs.t)[np.asarray(hb.valid)],
+            np.asarray(hb.t)[np.asarray(hb.valid)],
+            rtol=1e-4,
+        )
+
+    def test_matches_flat_rounds(self, soup, rays, monkeypatch):
+        import os
+
+        cl = self._build(soup)
+        o, d, tmin, tmax = rays
+        hs = intersect_clusters(cl, o, d, tmin, tmax)
+        monkeypatch.setenv("AKR_SUPERCLUSTERS", "0")
+        hf = intersect_clusters(cl, o, d, tmin, tmax)
+        np.testing.assert_array_equal(np.asarray(hs.valid), np.asarray(hf.valid))
+        np.testing.assert_allclose(np.asarray(hs.t), np.asarray(hf.t), rtol=1e-5)
+
+    def test_occlusion_and_exclusion(self, soup, rays):
+        cl = self._build(soup)
+        o, d, tmin, tmax = rays
+        occ_s = intersect_clusters(cl, o, d, tmin, jnp.full(o.shape[0], 4.0), any_hit=True)
+        jv0, je1, je2 = (jnp.asarray(a) for a in soup)
+        occ_b = occlude_brute_force(o, d, tmin, jnp.full(o.shape[0], 4.0), jv0, je1, je2)
+        np.testing.assert_array_equal(np.asarray(occ_s), np.asarray(occ_b))
+        h1 = intersect_clusters(cl, o, d, tmin, tmax)
+        h2 = intersect_clusters(cl, o, d, tmin, tmax, exclude0=h1.tri_id)
+        bv = np.asarray(h1.valid) & np.asarray(h2.valid)
+        assert (np.asarray(h1.tri_id)[bv] != np.asarray(h2.tri_id)[bv]).all()

@@ -320,3 +320,64 @@ class TestFusedPrincipled:
             f_f, p_f = fused.evaluate(wo, wi)
             np.testing.assert_allclose(np.asarray(f_f), np.asarray(f_t), rtol=2e-5, atol=2e-6)
             np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_t), rtol=2e-5, atol=2e-6)
+
+
+class TestPlasticChi2:
+    """Tungsten plastic (svm/surface.py::PlasticBsdf, ref plastic.rs:38-178):
+    sample_wi histogram must match the mixture pdf claimed by evaluate."""
+
+    def _make(self, rough=0.3, kd=(0.6, 0.3, 0.2), eta=1.5, sigma_a=None):
+        from akari_render_tpu.svm.surface import PlasticBsdf
+
+        n = ()
+        kd_a = jnp.asarray(kd, jnp.float32)[None]  # broadcastable [1, 3]
+        eta_a = jnp.full((1,), eta, jnp.float32)
+        r_a = jnp.full((1,), rough, jnp.float32)
+        sig = jnp.asarray(sigma_a, jnp.float32)[None] if sigma_a else None
+        return PlasticBsdf(kd_a, eta_a, r_a, sig, None)
+
+    @pytest.mark.parametrize("rough", [0.15, 0.5])
+    def test_chi2(self, rough):
+        _run_chi2(self._make(rough=rough), _wo(30))
+
+    def test_chi2_grazing(self):
+        _run_chi2(self._make(rough=0.4), _wo(70))
+
+    def test_energy_below_one(self):
+        """White-ish furnace: total reflected energy must stay below 1."""
+        surf = self._make(rough=0.3, kd=(0.9, 0.9, 0.9))
+        wo = _wo(35)
+        n = 100_000
+        wi, valid, pdf = _sample_bsdf(surf, wo, n)
+        f, _ = surf.evaluate(
+            jnp.broadcast_to(jnp.asarray(wo), (n, 3)), jnp.asarray(wi)
+        )
+        est = np.where(
+            valid[:, None] & (pdf[:, None] > 0),
+            np.asarray(f) / np.maximum(pdf[:, None], 1e-9),
+            0.0,
+        )
+        assert est.mean(0).max() < 1.05
+
+    def test_absorption_darkens(self):
+        """Nonzero sigma_a must strictly reduce the substrate response."""
+        clear = self._make(rough=0.3)
+        tinted = self._make(rough=0.3, sigma_a=(0.5, 0.5, 0.5))
+        wo = jnp.broadcast_to(jnp.asarray(_wo(30)), (1, 3))
+        wi = jnp.broadcast_to(jnp.asarray(_wo(-20)), (1, 3))
+        f_c, _ = clear.evaluate(wo, wi)
+        f_t, _ = tinted.evaluate(wo, wi)
+        assert float(f_t.sum()) < float(f_c.sum())
+
+    def test_internal_scattering_brightens_vs_naive(self):
+        """The kd/(1-kd*Fdr) compensation must brighten the substrate over a
+        plain (1-Fi)(1-Fo)/eta^2-scaled Lambert term for high-albedo kd."""
+        from akari_render_tpu.svm.surface import fr_dielectric_integral
+
+        eta = jnp.full((1,), 1.5)
+        fdr = float(fr_dielectric_integral(eta)[0])
+        # INTERNAL diffuse Fresnel reflectance: ~0.596 at eta=1.5 (light
+        # bouncing inside the coat re-enters the substrate)
+        assert 0.55 < fdr < 0.65
+        kd = 0.9
+        assert kd / (1 - kd * fdr) > kd

@@ -294,3 +294,61 @@ class TestTangents:
         ok = ln > 0.5
         assert ok.mean() > 0.9
         assert np.quantile(inner[ok], 0.9) < 0.3
+
+
+class TestShardedIntegrators:
+    """Sharded MCMC/GPT must match their single-chip versions: chain/pixel
+    sample streams are keyed by absolute ids, so only float reduction order
+    differs (SURVEY.md §2.3 multi-device plan)."""
+
+    def test_mcmc_sharded_matches_single(self, cbox_path):
+        from akari_render_tpu.config import MCMCConfig
+        from akari_render_tpu.integrators.mcmc import render_mcmc
+        from akari_render_tpu.parallel.shard import make_mesh, render_mcmc_sharded
+
+        scene = load_scene(cbox_path, width=8, height=8)
+        cfg = MCMCConfig(
+            spp=8, max_depth=2, n_chains=64, n_bootstrap=512,
+            direct_spp=0, spp_per_pass=8,
+        )
+        img_s, st_s = render_mcmc_sharded(scene, cfg, mesh=make_mesh(8))
+        img_1, st_1 = render_mcmc(scene, cfg)
+        assert abs(st_s["b"] - st_1["b"]) < 1e-9
+        assert abs(st_s["acceptance"] - st_1["acceptance"]) < 1e-9
+        np.testing.assert_allclose(img_s, img_1, rtol=1e-3, atol=1e-4)
+
+    def test_gpt_sharded_matches_single(self, cbox_path):
+        from akari_render_tpu.config import GPTConfig
+        from akari_render_tpu.integrators.gpt import render_gpt
+        from akari_render_tpu.parallel.shard import make_mesh, render_gpt_sharded
+
+        scene = load_scene(cbox_path, width=8, height=8)
+        cfg = GPTConfig(spp=2, max_depth=2)
+        img_s, _ = render_gpt_sharded(scene, cfg, mesh=make_mesh(8))
+        img_1, _ = render_gpt(scene, cfg)
+        np.testing.assert_allclose(img_s, img_1, rtol=1e-3, atol=1e-4)
+
+    def test_pt_sharded_adaptive_loop_features(self, cbox_path, tmp_path):
+        """Grown-up sharded PT loop: in-jit spp chunking + checkpoint/stats."""
+        from akari_render_tpu.parallel.shard import make_mesh, render_pt_sharded
+        from akari_render_tpu.stats import RenderSession
+
+        scene = load_scene(cbox_path, width=16, height=16)
+        ck = tmp_path / "pt.ckpt"
+        sess = RenderSession(
+            name="shard", save_intermediate=False, save_stats=True,
+            out_dir=str(tmp_path),
+        )
+        cfg = PTConfig(spp=8, max_depth=3, spp_per_pass=4)
+        img, stats = render_pt_sharded(
+            scene, cfg, mesh=make_mesh(8),
+            checkpoint_path=str(ck), checkpoint_every=1, session=sess,
+        )
+        assert stats["spp_total"] == 8
+        assert ck.exists()
+        assert (tmp_path / "shard.json").exists()
+        # resume from checkpoint: no new samples needed
+        img2, stats2 = render_pt_sharded(
+            scene, cfg, mesh=make_mesh(8), checkpoint_path=str(ck)
+        )
+        np.testing.assert_allclose(img, img2, atol=1e-6)

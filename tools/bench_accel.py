@@ -1,0 +1,119 @@
+"""Acceleration-structure throughput benchmark: 2M-triangle heightfield,
+128k rays, closest-hit Mrays/s — the STATUS.md item-2 workload. Compares the
+flat cluster rounds against the hierarchical supercluster cull.
+
+    python tools/bench_accel.py [--tris 2000000] [--rays 131072] [--cpu]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def heightfield(n_tris: int):
+    """Displaced grid: spatially coherent, like real scan/terrain data."""
+    side = int(np.sqrt(n_tris / 2))
+    x = np.linspace(-10, 10, side + 1)
+    z = np.linspace(-10, 10, side + 1)
+    X, Z = np.meshgrid(x, z, indexing="ij")
+    Y = np.sin(X * 1.7) * np.cos(Z * 1.3) + 0.3 * np.sin(X * 7 + Z * 5)
+    V = np.stack([X, Y, Z], -1).reshape(-1, 3).astype(np.float32)
+    idx = []
+    for i in range(side):
+        base = i * (side + 1)
+        for j in range(side):
+            a = base + j
+            b = a + side + 1
+            idx.append([a, b, b + 1])
+            idx.append([a, b + 1, a + 1])
+    I = np.asarray(idx, np.int64)
+    v0 = V[I[:, 0]]
+    e1 = V[I[:, 1]] - v0
+    e2 = V[I[:, 2]] - v0
+    return v0, e1, e2
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tris", type=int, default=2_000_000)
+    ap.add_argument("--rays", type=int, default=131072)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from akari_render_tpu.accel.bvh import build_bvh
+    from akari_render_tpu.accel.cluster import build_clusters, intersect_clusters
+
+    t0 = time.time()
+    v0, e1, e2 = heightfield(args.tris)
+    print(f"soup: {len(v0)} tris ({time.time()-t0:.1f}s)")
+    t0 = time.time()
+    bvh = build_bvh(v0, e1, e2)
+    cl = build_clusters(v0, e1, e2, np.asarray(bvh.order))
+    print(
+        f"build: {cl.num_clusters} clusters"
+        + (f", {cl.sc_bmin.shape[0]} superclusters" if cl.sc_bmin is not None else "")
+        + f" ({time.time()-t0:.1f}s)"
+    )
+
+    rng = np.random.default_rng(9)
+    n = args.rays
+    o = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(-10, 10, n),
+                np.full(n, 6.0),
+                rng.uniform(-10, 10, n),
+            ],
+            -1,
+        ).astype(np.float32)
+    )
+    d = np.stack(
+        [rng.normal(0, 0.25, n), -np.ones(n), rng.normal(0, 0.25, n)], -1
+    ).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    tmin = jnp.zeros(n)
+    tmax = jnp.full(n, 1e20)
+
+    import os
+
+    results = {}
+    for mode, env in (("super", "1"), ("flat", "0")):
+        if mode == "super" and cl.sc_bmin is None:
+            continue
+        os.environ["AKR_SUPERCLUSTERS"] = env
+        fn = jax.jit(lambda o, d: intersect_clusters(cl, o, d, tmin, tmax))
+        hit = fn(o, d)
+        jax.block_until_ready(hit)
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            hit = fn(o, d)
+            jax.block_until_ready(hit)
+        dt = (time.time() - t0) / reps
+        mrays = n / dt / 1e6
+        results[mode] = (mrays, hit)
+        print(
+            f"{mode:>6}: {mrays:8.3f} Mrays/s  ({dt*1e3:.1f} ms/{n} rays, "
+            f"hit rate {float(hit.valid.mean()):.3f})"
+        )
+    if len(results) == 2:
+        hs, hf = results["super"][1], results["flat"][1]
+        same = np.allclose(np.asarray(hs.t), np.asarray(hf.t), rtol=1e-5)
+        print(f"speedup: {results['super'][0]/results['flat'][0]:.2f}x, results match: {same}")
+
+
+if __name__ == "__main__":
+    main()
