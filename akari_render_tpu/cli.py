@@ -31,6 +31,10 @@ def main(argv=None):
         "--devices", type=int, default=1,
         help="shard the render over N devices (pt/mcmc/gpt; 1 = single-chip)",
     )
+    ap.add_argument(
+        "--gui", action="store_true",
+        help="serve a live progressive preview over local HTTP (akari --gui analog)",
+    )
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -64,6 +68,12 @@ def main(argv=None):
         save_stats=args.save_stats,
         out_dir=str(out_p.parent),
     )
+    if args.gui:
+        from .gui import DisplayServer
+
+        server = DisplayServer()
+        session.display = server.update
+        print(f"progressive preview: {server.url}", file=sys.stderr)
     progress_cb = progress if args.verbose else None
 
     mesh = None

@@ -65,7 +65,13 @@ def write_exr(path: str | Path, img: np.ndarray) -> None:
 
 def read_exr(path: str | Path) -> np.ndarray:
     """Read an uncompressed scanline float RGB EXR (as written by write_exr)."""
-    raw = Path(path).read_bytes()
+    return read_exr_bytes(Path(path).read_bytes())
+
+
+def read_exr_bytes(raw: bytes) -> np.ndarray:
+    """Decode an uncompressed scanline float RGB EXR from memory — used for
+    EXR image-texture buffers embedded in scene files (ref load.rs:588-614
+    routes exr textures through a float decode)."""
     magic, version = struct.unpack_from("<ii", raw, 0)
     assert magic == _MAGIC, "not an EXR file"
     pos = 8

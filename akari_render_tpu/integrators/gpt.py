@@ -116,28 +116,36 @@ def gpt_sample_films(scene: Scene, config: GPTConfig, filt, settings, D: int,
             soff, sfw = filt.sample(u_film)
             sp_film = spix.astype(jnp.float32) + 0.5 + soff
             s_o, s_d = generate_rays(sc.camera, sp_film)
-            shifted, jac, sampler = trace_shift_reconnect(
+            shifted, jac, success, sampler = trace_shift_reconnect(
                 sc, settings, s_o, s_d, sampler, rec,
                 min_dist=config.shift_mapping_min_dist,
                 min_rough=config.shift_mapping_min_roughness,
             )
             shifted = shifted * sfw[..., None]
             rng = sampler.rng
-            # jacobian-aware pair MIS weight (gpt.rs:284-316)
-            w = 1.0 / (1.0 + jac)
+            # the reference's pair weighting (gpt.rs:318-331): on success
+            # grad = (shifted*J - base)/(1+J); on failure the shifted path
+            # contributes nothing and the base keeps full weight — the
+            # opposite-direction pair supplies the + side of the difference
+            g = jnp.where(
+                success[..., None],
+                (shifted * jac[..., None] - base) / (1.0 + jac)[..., None],
+                -base,
+            )
         else:
             _, shifted, rng = _eval_from_pixel(sc, settings, filt, spix, pss, rng)
-            # PSS replay shift has jacobian 1 -> 1/(1+J) = 1/2
-            w = jnp.full(chunk, 0.5)
-        # forward differences: G[p] = I[p + e] - I[p], stored at the
+            # PSS replay shift has jacobian 1 -> symmetric half weights
+            g = (shifted - base) * 0.5
+        # forward differences: G[p] estimates I[p + e] - I[p], stored at the
         # lower-index pixel of the pair
-        grad = (shifted - base) if positive else (base - shifted)
+        grad = g if positive else -g
         gpix = pix if positive else spix
         gp = gpix.astype(jnp.float32) + 0.5
+        w1g = jnp.ones(chunk)
         target = gx if is_x else gy
         tsq = gx_sq if is_x else gy_sq
-        target = add_samples(target, gp, grad * w[..., None], w, width, height)
-        tsq = add_samples(tsq, gp, grad * grad * w[..., None], w, width, height)
+        target = add_samples(target, gp, grad, w1g, width, height)
+        tsq = add_samples(tsq, gp, grad * grad, w1g, width, height)
         if is_x:
             gx, gx_sq = target, tsq
         else:
@@ -255,6 +263,9 @@ def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None,
             ipath = str(Path(session.out_dir) / f"{session.name}-{s + 1}.exr")
             write_image(ipath, np.asarray(_recon_current(films)))
             render_stats.record(time.time() - t0, s + 1, ipath)
+        if session is not None and session.display is not None:
+            jax.block_until_ready(films)
+            session.display(np.asarray(_recon_current(films)))
     jax.block_until_ready(films)
     if prof is not None:
         prof.print_report()

@@ -18,10 +18,17 @@ crates/akari_integrator/src/pt.rs:328-900 + gpt.rs:206-349. Semantics:
      contrib = beta'_{k-1} * f'(wo', wi') / pdf_base(x_{k-1}) * J *
                [ Le(V->x') * mis + f_V(wo'_V, wi_nee) * (li*mis'/pdf_l)
                  + f_V(wo'_V, wi_base)/pdf_V * indirect ]
-- The shift FAILS (jacobian 0, prefix-only radiance — gpt MIS then weights
-  the pair 1/(1+0)) if it dies early, its own first eligible pair index is
-  earlier than k (non-reversibility, pt.rs:823-829), the connection violates
-  the distance/roughness criteria, or V is occluded from x'_{k-1}.
+- The shift FAILS (success=False; the base keeps pair weight 1) if it dies
+  early, its own first eligible pair index is earlier than k
+  (non-reversibility, pt.rs:823-829), the connection violates the
+  distance/roughness criteria, or V is occluded from x'_{k-1}.
+- SPECULAR / near-specular PREFIX vertices are handled exactly like the
+  reference: the shifted path replays the base's sampler through them
+  (gpt.rs:141-351 clones the sampler for each shift). Under VNDF GGX
+  sampling, replaying the same u at the offset geometry reproduces the same
+  visible-normal quantile — i.e. the half-vector copy of the hybrid shift —
+  and the reconnection jacobian's pdf ratios (pdf_y1/pdf_x1 * pdf_y2/pdf_x2,
+  pt.rs:683-694) supply the endpoint density correction.
 
 Everything is lane-parallel and unrolled (static max_depth); masks replace
 the reference's device control flow.
@@ -260,17 +267,25 @@ def trace_base_record(scene, settings: PTSettings, ray_o, ray_d, sampler,
 
 def trace_shift_reconnect(scene, settings: PTSettings, ray_o, ray_d, sampler,
                           rec: ReconnectionRecord, min_dist=0.03, min_rough=0.2):
-    """Shifted path with reconnection; returns (radiance, jacobian, sampler).
+    """Shifted path with reconnection; returns (radiance, jacobian, success,
+    sampler) — the reference weighting (pt.rs:536-775): the connection's tail
+    divides by the SHIFTED path's pdfs (pdf_y1 at x'_{k-1}, pdf_y2 at V) and
+    the jacobian carries the pdf ratios
 
-    jacobian is 0 for failed shifts (their radiance is prefix-only)."""
+        J = (pdf_y1/pdf_x1) * (pdf_y2/pdf_x2) * |cos'_V|/|cos_V| * d^2/d'^2
+
+    so contributions that route through the base pdfs recover exactly when
+    the gradient applies radiance * J. `radiance` has NO jacobian applied
+    (the pairing in gpt.py applies it, gpt.rs:318-331); success=False lanes
+    contribute nothing to the pair (the base keeps weight 1)."""
     n = ray_o.shape[0]
     st = _init_state(n, record_mode=False)
     st["ray_o"], st["ray_d"] = ray_o, ray_d
     jacobian = jnp.zeros((n,))
+    success = jnp.zeros((n,), bool)
     v_si = scene.surface_interaction(jnp.maximum(rec.tri, 0), rec.bary)
 
     for depth in range(settings.max_depth):
-        was_active = st["active"]
         st, sampler, pre = _bounce(
             scene, settings, st, depth, sampler, False,
             min_dist=min_dist, min_rough=min_rough,
@@ -299,22 +314,24 @@ def trace_shift_reconnect(scene, settings: PTSettings, ray_o, ray_d, sampler,
         )
         ok = ok & ~occ
 
-        # f'(wo', wi') at x'_{k-1}
+        # f1, pdf_y1 at x'_{k-1} (the shifted connection segment)
         wo_p = pre["wo"]
 
         def eval_conn(closure):
             f, pdf = closure.evaluate(wo_p, wi_p)
-            return {"f": f}
+            return {"f": f, "pdf": pdf}
 
-        fconn = _select_by_kind(scene, si, eval_conn)["f"]
+        cv = _select_by_kind(scene, si, eval_conn)
+        f1, pdf_y1 = cv["f"], cv["pdf"]
 
-        # V-side: emission + NEE + indirect reweighting with wo'_V = -wi'
+        # V-side with wo'_V = -wi': NEE re-eval (fd, pd) and the base exit
+        # direction re-eval (f2, pdf_y2)
         wo_v = -wi_p
 
         def eval_v(closure):
             fd, pd = closure.evaluate(wo_v, rec.direct_wi)
-            fi, _ = closure.evaluate(wo_v, rec.wi)
-            return {"fd": fd, "pd": pd, "fi": fi}
+            f2, pdf_y2 = closure.evaluate(wo_v, rec.wi)
+            return {"fd": fd, "pd": pd, "f2": f2, "pdf_y2": pdf_y2}
 
         vv = _select_by_kind(scene, v_si, eval_v)
         le_v = _emission_at(scene, v_si, wo_v)
@@ -323,28 +340,50 @@ def trace_shift_reconnect(scene, settings: PTSettings, ray_o, ray_d, sampler,
             scene.arrays.lights, v_si["light_id"], v_si["prim_pdf"],
             v_si["area"], v_si["ng"], v_si["p"], xp,
         )
-        w_le = mis_weight(rec.prev_pdf, lpdf_v)
+        # MIS against NEE from the SHIFTED prefix vertex (pt.rs:723-726)
+        w_le = mis_weight(pdf_y1, lpdf_v)
         le_term = jnp.where(front_v[..., None], le_v * w_le[..., None], 0.0)
         w_nee = mis_weight(rec.direct_light_pdf, vv["pd"])
         nee_term = vv["fd"] * rec.direct * w_nee[..., None]
-        ind_term = vv["fi"] / jnp.maximum(rec.bsdf_pdf, 1e-20)[..., None] * rec.indirect
+        ind_term = jnp.where(
+            (vv["pdf_y2"] > 0.0)[..., None],
+            vv["f2"] / jnp.maximum(vv["pdf_y2"], 1e-20)[..., None] * rec.indirect,
+            0.0,
+        )
         tail = le_term + nee_term + ind_term
 
+        # RR continue probability as if the shifted path continued through
+        # the connection (pt.rs:737-741) — mirrors the base's cont_prob form
+        f_pdf = f1 / jnp.maximum(pdf_y1, 1e-20)[..., None]
+        beta_conn = pre["beta"] * f_pdf
+        cont_prob = jnp.where(
+            rec.depth > settings.rr_depth,
+            jnp.clip(jnp.max(beta_conn, -1), 0.0, 1.0) * 0.95,
+            1.0,
+        )
+        conn = beta_conn * tail / jnp.maximum(cont_prob, 1e-20)[..., None]
+
+        # jacobian with pdf ratios (pt.rs:683-694, 762-765)
+        def ratio(py, px):
+            return jnp.where(
+                px <= 0.0, jnp.where(py <= 0.0, 1.0, 0.0), py / jnp.maximum(px, 1e-20)
+            )
+
+        pdf_ratio = ratio(pdf_y1, rec.prev_pdf) * ratio(vv["pdf_y2"], rec.bsdf_pdf)
         cos_p = jnp.abs(dot(v_si["ng"], wo_v))
-        J = (cos_p / jnp.maximum(rec.cos_at_v, 1e-20)) * (
-            rec.dist**2 / jnp.maximum(dist_p**2, 1e-20)
+        J = (
+            pdf_ratio
+            * (cos_p / jnp.maximum(rec.cos_at_v, 1e-20))
+            * (rec.dist**2 / jnp.maximum(dist_p**2, 1e-20))
         )
-        conn = (
-            pre["beta"]
-            * fconn
-            / jnp.maximum(rec.prev_pdf, 1e-20)[..., None]
-            * tail
-            * J[..., None]
-        )
+        J = jnp.where(jnp.isfinite(J), J, 0.0)
+        ok = ok & (J > 0.0)
+
         st["radiance"] = st["radiance"] + jnp.where(ok[..., None], conn, 0.0)
         jacobian = jnp.where(ok, J, jacobian)
+        success = success | ok
         st["connected"] = st["connected"] | ok
         # connecting lanes (even failed ones at their index) stop replaying
         st["active"] = st["active"] & ~do_connect
 
-    return st["radiance"], jacobian, sampler
+    return st["radiance"], jacobian, success, sampler

@@ -341,6 +341,11 @@ def render_mcmc(scene: Scene, config: MCMCConfig, task=None, progress_cb=None,
             ipath = str(Path(session.out_dir) / f"{session.name}-{pass_no}.exr")
             write_image(ipath, _current_estimate(carry))
             render_stats.record(time.time() - t_start, eff, ipath)
+        if session is not None and session.display is not None and (
+            pass_no % 4 == 0 or done >= mutations_per_chain
+        ):
+            jax.block_until_ready(carry)
+            session.display(_current_estimate(carry))
     jax.block_until_ready(carry)
     if prof is not None:
         prof.print_report()

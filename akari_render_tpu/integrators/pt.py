@@ -188,6 +188,11 @@ def render_pt(scene: Scene, config: PTConfig, task=None, progress_cb=None,
             ipath = str(Path(session.out_dir) / f"{session.name}-{done}.exr")
             write_image(ipath, np.asarray(develop(film, width, height)))
             render_stats.record(time.time() - t0, done, ipath)
+        if session is not None and session.display is not None and (
+            pass_no % 4 == 0 or last
+        ):
+            jax.block_until_ready(film)
+            session.display(np.asarray(develop(film, width, height)))
     jax.block_until_ready(film)
     if prof is not None:
         prof.print_report()

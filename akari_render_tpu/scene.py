@@ -827,7 +827,11 @@ def _collect_images(sg: SceneGraph):
 def _decode_image(sg: SceneGraph, img: dict) -> np.ndarray:
     """Decode one image node's buffer into [h, w, 4] float32 (raw values;
     sRGB decode happens at sample time per the shader's colorspace).
-    Images are stored v-flipped to match the reference (load.rs:599 flipv)."""
+    Formats mirror the reference's ImageFormat enum (scenegraph scene.rs:
+    299-311 — png/jpeg/tiff/tga/dds via the image crate, exr via a float
+    decode, raw float): PIL covers png/jpeg/tiff/tga/dds here; exr goes
+    through the self-contained EXR codec. Images are stored v-flipped to
+    match the reference (load.rs:599 flipv)."""
     data = sg.buffer_view(img["data"], np.uint8)
     fmt = img.get("format", "png")
     if fmt == "float":
@@ -838,14 +842,22 @@ def _decode_image(sg: SceneGraph, img: dict) -> np.ndarray:
                 [np.zeros((h, w, 3 - c), np.float32), np.ones((h, w, 1), np.float32)], -1
             ) if c < 3 else np.ones((h, w, 1), np.float32)
             arr = np.concatenate([arr, pad[..., : 4 - c]], -1) if c < 4 else arr
-    else:
+    elif fmt == "exr":
+        from .core.image_io import read_exr_bytes
+
+        rgb = read_exr_bytes(data.tobytes()).astype(np.float32)
+        if rgb.shape[-1] >= 4:
+            arr = rgb[..., :4]
+        else:
+            h, w = rgb.shape[:2]
+            pad = np.ones((h, w, 4 - rgb.shape[-1]), np.float32)
+            arr = np.concatenate([rgb, pad], -1)
+    else:  # png / jpeg / tiff / tga / dds (8-bit LDR family)
         import io
 
         from PIL import Image
 
         pil = Image.open(io.BytesIO(data.tobytes()))
         pil = pil.convert("RGBA")
-        arr = np.asarray(pil, np.float32)
-        if fmt not in ("exr", "float"):
-            arr = arr / 255.0
+        arr = np.asarray(pil, np.float32) / 255.0
     return arr[::-1].copy()  # flip v

@@ -15,12 +15,15 @@ from pathlib import Path
 
 @dataclass
 class RenderSession:
-    """Mirrors RenderSession (lib.rs:8-23)."""
+    """Mirrors RenderSession (lib.rs:8-23). `display` is the DisplayChannel
+    analog (gui.rs:92-110): a callable taking the current [H, W, 3] image,
+    fed at progress cadence by every integrator (see gui.DisplayServer)."""
 
     name: str = "render"
     save_intermediate: bool = False
     save_stats: bool = False
     out_dir: str = "."
+    display: object = None
 
 
 @dataclass

@@ -247,6 +247,8 @@ class _Evaluator:
             return ("surface", self._glass(node))
         if op == "plastic":
             return ("surface", self._plastic(node))
+        if op == "metal":
+            return ("surface", self._metal(node))
         if op == "mix_bsdf":
             a = self.surface(node[1])
             b = self.surface(node[2])
@@ -282,6 +284,38 @@ class _Evaluator:
         return BsdfMixture(
             lambda wo: fr_dielectric(Frame.cos_theta(wo), eta), trans, refl, "add"
         )
+
+    # named complex IORs (n, k) as linear-RGB triples (~615/535/465 nm,
+    # standard tabulated conductor data); the scenegraph MetalBsdf carries a
+    # preset NAME (shader.rs:156-160) and the reference's surface impl is
+    # todo!() (metal.rs:13-17) — this implements it
+    METAL_IOR = {
+        "Au": ((0.143, 0.375, 1.442), (3.983, 2.386, 1.603)),
+        "Ag": ((0.155, 0.116, 0.138), (3.602, 3.131, 2.621)),
+        "Cu": ((0.200, 0.924, 1.102), (3.910, 2.448, 2.331)),
+        "Al": ((1.345, 0.965, 0.617), (7.475, 6.400, 5.303)),
+        "Fe": ((2.911, 2.950, 2.585), (3.089, 2.931, 2.767)),
+        "Cr": ((3.180, 3.182, 2.441), (3.330, 3.330, 3.038)),
+        "Ni": ((1.965, 1.824, 1.657), (3.714, 3.382, 3.048)),
+        "Ti": ((2.741, 2.542, 2.267), (3.814, 3.435, 3.039)),
+    }
+
+    def _metal(self, node) -> Surface:
+        """Conductor GGX: complex-Fresnel microfacet reflection with a named
+        IOR preset (upstream scenegraph node; surface impl todo!() there)."""
+        from .microfacet import fr_complex
+
+        name = node[1] if isinstance(node[1], str) else "Al"
+        n_rgb, k_rgb = self.METAL_IOR.get(name, self.METAL_IOR["Al"])
+        roughness = self.f(node[2])
+        shape = roughness.shape + (3,)
+        n_c = jnp.broadcast_to(jnp.asarray(n_rgb, jnp.float32), shape)
+        k_c = jnp.broadcast_to(jnp.asarray(k_rgb, jnp.float32), shape)
+        from .surface import ConductorReflection
+
+        dist = TrowbridgeReitz.from_roughness(roughness)
+        fresnel = lambda c: fr_complex(c, n_c, k_c)
+        return ConductorReflection(jnp.ones(shape), fresnel, dist)
 
     def _plastic(self, node) -> Surface:
         """Tungsten rough plastic with internal scattering (ref

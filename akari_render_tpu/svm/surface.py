@@ -313,6 +313,15 @@ class BsdfMixture(Surface):
         return normalize(self.a.ns(shape) + self.b.ns(shape))
 
 
+class ConductorReflection(MicrofacetReflection):
+    """Metal GGX lobe whose tint comes entirely from the complex Fresnel —
+    albedo reports F(cos_o) so denoising/AOV/GPT heuristics see the metal's
+    actual reflectance instead of the white lobe color."""
+
+    def albedo(self, wo):
+        return self.fresnel(Frame.abs_cos_theta(wo))
+
+
 def fr_dielectric_integral(eta):
     """Hemispherical (diffuse) Fresnel reflectance Fdr(eta), the polynomial
     fits of surface/mod.rs:1127-1144. eta: [N]."""

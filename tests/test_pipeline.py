@@ -149,3 +149,44 @@ class TestStats:
             pass
         rep = prof.report()
         assert rep["stage"]["count"] == 1
+
+
+class TestDisplayServer:
+    """HTTP progressive preview (gui.py — the DisplayChannel analog of
+    gui.rs:18-110, headless-host edition)."""
+
+    def test_serves_frames(self):
+        import urllib.request
+
+        from akari_render_tpu.gui import DisplayServer
+
+        srv = DisplayServer()
+        try:
+            html = urllib.request.urlopen(srv.url, timeout=5).read()
+            assert b"frame.png" in html
+            img = np.zeros((8, 8, 3), np.float32)
+            img[:, :, 1] = 0.5
+            srv.update(img)
+            png = urllib.request.urlopen(srv.url + "frame.png", timeout=5).read()
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+            from io import BytesIO
+
+            from PIL import Image
+
+            decoded = np.asarray(Image.open(BytesIO(png)))
+            assert decoded.shape[:2] == (8, 8)
+            assert decoded[..., 1].mean() > decoded[..., 0].mean()
+        finally:
+            srv.close()
+
+    def test_render_pushes_frames(self, tmp_path):
+        from akari_render_tpu.config import PTConfig
+        from akari_render_tpu.integrators.pt import render_pt
+        from akari_render_tpu.scene import load_scene
+        from akari_render_tpu.stats import RenderSession
+
+        frames = []
+        sess = RenderSession(display=lambda im: frames.append(im.shape))
+        s = load_scene("/root/reference/scenes/cbox/scene.json", width=8, height=8)
+        render_pt(s, PTConfig(spp=2, max_depth=2, spp_per_pass=1), session=sess)
+        assert frames and frames[-1] == (8, 8, 3)

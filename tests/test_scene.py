@@ -352,3 +352,126 @@ class TestShardedIntegrators:
             scene, cfg, mesh=make_mesh(8), checkpoint_path=str(ck)
         )
         np.testing.assert_allclose(img, img2, atol=1e-6)
+
+
+class TestTextureFormats:
+    """Image-texture decode breadth (ref load.rs:588-614 ImageFormat family:
+    png/jpeg/tiff/tga/dds via the image crate, exr as float)."""
+
+    def _scene_with_texture(self, tmp_path, fmt, payload_bytes, w, h, colorspace):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+        import make_test_scene as M
+
+        from akari_render_tpu.scenegraph.write import SceneBuilder
+
+        b = SceneBuilder()
+        M.quad(b, "q", (-1, -1, 0), (1, -1, 0), (1, 1, 0), (-1, 1, 0))
+        view = b.add_array("tex.fmt", np.frombuffer(payload_bytes, np.uint8))
+        nodes = {
+            "tex": {
+                "type": "image",
+                "image": {
+                    "data": view,
+                    "extension": "repeat",
+                    "interpolation": "linear",
+                    "colorspace": colorspace,
+                    "format": fmt,
+                    "width": w,
+                    "height": h,
+                    "channels": 4,
+                },
+            }
+        }
+        b.add_material("m", M.principled(base_color_node=(nodes, {"id": "tex"})))
+        b.add_instance("qi", "q", np.eye(4).tolist(), ["m"])
+        b.set_camera_perspective(transform_matrix=np.eye(4), width=4, height=4)
+        return load_scene(b.write(tmp_path / f"tex_{fmt}", compact=True))
+
+    def test_tiff(self, tmp_path):
+        import io
+
+        from PIL import Image
+
+        rgba = np.zeros((4, 4, 4), np.uint8)
+        rgba[..., 0] = 200
+        rgba[..., 3] = 255
+        buf = io.BytesIO()
+        Image.fromarray(rgba).save(buf, format="TIFF")
+        s = self._scene_with_texture(tmp_path, "tiff", buf.getvalue(), 4, 4, "srgb")
+        tex = np.asarray(s.atlas.data[0])
+        np.testing.assert_allclose(tex[..., 0], 200 / 255.0, atol=1e-3)
+        np.testing.assert_allclose(tex[..., 3], 1.0, atol=1e-3)
+
+    def test_exr(self, tmp_path):
+        from akari_render_tpu.core.image_io import write_exr
+
+        hdr = np.zeros((4, 4, 3), np.float32)
+        hdr[..., 1] = 3.5  # HDR value beyond 1 survives the float path
+        p = tmp_path / "t.exr"
+        write_exr(p, hdr)
+        s = self._scene_with_texture(
+            tmp_path, "exr", p.read_bytes(), 4, 4, "linear"
+        )
+        tex = np.asarray(s.atlas.data[0])
+        np.testing.assert_allclose(tex[..., 1], 3.5, atol=1e-4)
+        np.testing.assert_allclose(tex[..., 3], 1.0, atol=1e-6)
+
+
+class TestMetalBsdf:
+    """Named-IOR conductor (svm/eval.py::_metal): the reference's scenegraph
+    metal node exists but its surface impl is todo!() (metal.rs:13-17)."""
+
+    def _scene(self, tmp_path, eta="Au"):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+        import make_test_scene as M
+
+        from akari_render_tpu.scenegraph.write import SceneBuilder
+
+        b = SceneBuilder()
+        M.quad(b, "q", (-2, -2, 0), (2, -2, 0), (2, 2, 0), (-2, 2, 0))
+        graph = {
+            "nodes": {
+                "r": {"type": "float", "value": 0.2},
+                "m": {"type": "metal", "eta": eta, "roughness": {"id": "r"}},
+                "out": {"type": "output", "node": {"id": "m"}},
+            },
+            "output": {"id": "out"},
+            "kind": "surface",
+        }
+        b.add_material("gold", graph)
+        b.add_instance("qi", "q", np.eye(4).tolist(), ["gold"])
+        b.set_camera_perspective(transform_matrix=np.eye(4), width=4, height=4)
+        return load_scene(b.write(tmp_path / "metal", compact=True))
+
+    def test_normal_incidence_reflectance(self, tmp_path):
+        scene = self._scene(tmp_path, "Au")
+        si = scene.surface_interaction(
+            jnp.zeros((4,), jnp.int32), jnp.full((4, 2), 0.3)
+        )
+        closures = scene.dispatch_closures(si)
+        assert len(closures) == 1
+        _, closure = closures[0]
+        wo = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (4, 3))
+        alb = np.asarray(closure.albedo(wo))
+        # analytic normal-incidence conductor reflectance per channel
+        n = np.array([0.143, 0.375, 1.442])
+        k = np.array([3.983, 2.386, 1.603])
+        r0 = ((n - 1) ** 2 + k**2) / ((n + 1) ** 2 + k**2)
+        # gold: red channel high (~0.98), blue much lower (~0.39)
+        assert r0[0] > 0.9 and r0[2] < 0.5
+        # albedo ordering matches (rough GGX albedo ~ directional-hemispherical)
+        assert alb[0, 0] > alb[0, 2]
+        assert 0.5 < alb[0, 0] <= 1.05
+
+    def test_renders_finite(self, tmp_path):
+        scene = self._scene(tmp_path, "Cu")
+        o = jnp.asarray(np.array([[0.5, 0.5, 3.0]], np.float32))
+        d = jnp.asarray(np.array([[0.0, 0.0, -1.0]], np.float32))
+        hit = scene.intersect(o, d, jnp.zeros(1), jnp.full(1, 1e8))
+        assert bool(hit.valid[0])
