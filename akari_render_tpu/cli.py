@@ -42,9 +42,12 @@ def main(argv=None):
     from .core.image_io import write_image
     from .scene import load_scene
 
-    task = RenderTask.from_file(args.method)
-    if args.spp is not None:
-        task.method.spp = args.spp
+    # RenderTask::{Single,Multi} (ref lib.rs:103-109): a list renders each
+    # config in sequence against the same loaded scene
+    tasks = RenderTask.list_from_file(args.method)
+    for task in tasks:
+        if args.spp is not None:
+            task.method.spp = args.spp
 
     t0 = time.time()
     scene = load_scene(args.scene, width=args.res, height=args.res)
@@ -61,7 +64,21 @@ def main(argv=None):
 
     from .stats import RenderSession
 
+    for task_idx, task in enumerate(tasks):
+        _render_one(task, task_idx, len(tasks), scene, args, progress_cb=progress if args.verbose else None)
+
+
+def _render_one(task, task_idx, n_tasks, scene, args, progress_cb):
+    import json
+
+    from .core.image_io import write_image
+    from .stats import RenderSession
+
     out_p = Path(args.output or task.out_path)
+    if n_tasks > 1:
+        # Multi: -o override becomes a per-task suffixed path
+        if args.output:
+            out_p = out_p.with_name(f"{out_p.stem}_{task_idx}{out_p.suffix}")
     session = RenderSession(
         name=out_p.stem,
         save_intermediate=args.save_intermediate,
@@ -74,7 +91,6 @@ def main(argv=None):
         server = DisplayServer()
         session.display = server.update
         print(f"progressive preview: {server.url}", file=sys.stderr)
-    progress_cb = progress if args.verbose else None
 
     mesh = None
     if args.devices > 1:
@@ -143,7 +159,7 @@ def main(argv=None):
     else:
         raise SystemExit(f"unknown method: {task.method_type}")
 
-    out = args.output or task.out_path
+    out = str(out_p)
     write_image(out, img)
     print(f"wrote {out}  ({stats.get('total_time', 0.0):.2f}s render)", file=sys.stderr)
     if args.save_stats:

@@ -157,3 +157,12 @@ class RenderTask:
     @staticmethod
     def from_file(path: str | Path) -> "RenderTask":
         return RenderTask.from_json(json.loads(Path(path).read_text()))
+
+    @staticmethod
+    def list_from_file(path: str | Path) -> list["RenderTask"]:
+        """RenderTask::{Single,Multi} (ref lib.rs:103-109, untagged): a
+        method file holding a JSON LIST renders each config in sequence."""
+        doc = json.loads(Path(path).read_text())
+        if isinstance(doc, list):
+            return [RenderTask.from_json(d) for d in doc]
+        return [RenderTask.from_json(doc)]

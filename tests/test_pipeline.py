@@ -190,3 +190,22 @@ class TestDisplayServer:
         s = load_scene("/root/reference/scenes/cbox/scene.json", width=8, height=8)
         render_pt(s, PTConfig(spp=2, max_depth=2, spp_per_pass=1), session=sess)
         assert frames and frames[-1] == (8, 8, 3)
+
+
+def test_render_task_multi(tmp_path):
+    """RenderTask::Multi (ref lib.rs:103-109): a method file holding a JSON
+    list renders each config in sequence against the same scene."""
+    import json as _json
+
+    from akari_render_tpu.cli import main
+
+    multi = [
+        {"method": {"type": "pt", "spp": 1, "max_depth": 2},
+         "film": {"out": str(tmp_path / "a.exr")}},
+        {"method": {"type": "pt", "spp": 1, "max_depth": 2},
+         "film": {"out": str(tmp_path / "b.exr")}},
+    ]
+    mp = tmp_path / "multi.json"
+    mp.write_text(_json.dumps(multi))
+    main(["-s", "/root/reference/scenes/cbox/scene.json", "-m", str(mp), "--res", "8"])
+    assert (tmp_path / "a.exr").exists() and (tmp_path / "b.exr").exists()
