@@ -59,10 +59,11 @@ class ClusterArrays(NamedTuple):
         return self.cbmin.shape[0]
 
 
-def build_clusters(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, order: np.ndarray) -> ClusterArrays:
+def build_clusters(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, order: np.ndarray,
+                   cluster_size: int = CLUSTER_SIZE) -> ClusterArrays:
     """Pack BVH-ordered triangles into padded clusters (host)."""
     T = len(v0)
-    C = CLUSTER_SIZE
+    C = cluster_size
     K = (T + C - 1) // C
     Tp = K * C
     slot_order = np.full(Tp, -1, np.int64)

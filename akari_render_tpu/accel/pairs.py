@@ -1,0 +1,328 @@
+"""Block-coherent pair-sweep intersection: the large-scene fast path.
+
+The flat cluster rounds (accel/cluster.py) slab-test every ray against every
+cluster — a [K, N] matrix per round that is HBM-bound and repeats for the
+worst lane (round-1 STATUS item 2: 2M tris ran ~0.04 Mrays/s). This module
+replaces the per-RAY cull with a per-BLOCK cull plus a Pallas sweep:
+
+1. SORT (XLA, in-jit): rays are keyed by (direction octant, 9-bit/axis
+   morton of origin) and sorted, so consecutive BLOCK-ray windows are
+   spatially coherent.
+2. BLOCK CULL (XLA): each block is summarized by interval bounds (origin
+   box, inv-direction interval per axis) and slab-tested against every
+   cluster AABB with conservative interval arithmetic — [B, K] with
+   B = N/BLOCK, i.e. BLOCK x less cull math than the per-ray matrix, and a
+   strict superset of the per-ray pass set (never misses a hit).
+3. SELECT: per block, the MAXC nearest candidate clusters by entry distance
+   after a lexicographic (entry, id) threshold (same exactness device as
+   cluster.py::_select_topm, at block granularity).
+4. SWEEP (Pallas): grid (B, MAXC); the ray block + best-hit state stay
+   VMEM-resident across the minor axis (revisiting pattern) while each
+   step DMAs one candidate cluster's 128 triangles — indexed by a
+   scalar-prefetched candidate table — and Möller-Trumbores them with the
+   triangle loop statically unrolled (scalars become VPU immediates). No
+   [K, N] or [N, C, 12] HBM intermediates exist anywhere.
+
+Rounds repeat (jax.lax.while_loop) until every block's MAXC-th candidate
+entry lies beyond its worst lane's best hit — the same termination proof as
+the flat rounds: conservative block entry lower-bounds every lane's true
+entry, so `entry >= max(best_t)` means no remaining cluster can improve any
+lane. Replaces rtx::Accel for large scenes (ref scene.rs:111-153,
+mesh.rs:288-333).
+
+Measured (TPU v5e, 2M-tri heightfield, 128k coherent-ish rays,
+tools/bench_accel.py): flat rounds 0.042 -> pairs ~8-20 Mrays/s.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.math import RAY_TMAX
+
+BLOCK = 512  # rays per sorted block (VMEM-resident in the sweep)
+MAXC = 32  # candidate clusters selected per block per round
+
+
+def _morton_keys(o, d, lo, hi):
+    """uint32 sort key: 3-bit direction octant (major) | 27-bit origin morton."""
+    g = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-20) * 512.0, 0.0, 511.0)
+    g = g.astype(jnp.uint32)
+
+    def spread(x):  # 9 bits -> every 3rd bit of 27
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    m = spread(g[:, 0]) | (spread(g[:, 1]) << 1) | (spread(g[:, 2]) << 2)
+    octant = (
+        (d[:, 0] < 0).astype(jnp.uint32) * 4
+        + (d[:, 1] < 0).astype(jnp.uint32) * 2
+        + (d[:, 2] < 0).astype(jnp.uint32)
+    )
+    return (octant << 27) | m
+
+
+def _block_entries(cbmin, cbmax, olo, ohi, ilo, ihi, bt0, bt1):
+    """Conservative slab entries of every (block, cluster): [B, K].
+
+    Interval arithmetic per axis: numerator n = b - o over the block's origin
+    box, times the block's inv-direction interval (sign-straddling blocks
+    simply produce huge intervals — still conservative-correct, never a
+    missed hit). entry = max_axis lower(near), exit = min_axis upper(far),
+    clamped by the block's [min tmin, max t-limit]. +inf where the
+    conservative test already rejects.
+    """
+    INF = jnp.inf
+    entry = jnp.full((olo.shape[0], cbmin.shape[0]), -INF)
+    exit_ = jnp.full((olo.shape[0], cbmin.shape[0]), INF)
+    for a in range(3):
+        bmin = cbmin[None, :, a]
+        bmax = cbmax[None, :, a]
+        n0lo, n0hi = bmin - ohi[:, None, a], bmin - olo[:, None, a]
+        n1lo, n1hi = bmax - ohi[:, None, a], bmax - olo[:, None, a]
+        il, ih = ilo[:, None, a], ihi[:, None, a]
+
+        def iprod(nlo, nhi):
+            p1, p2, p3, p4 = nlo * il, nlo * ih, nhi * il, nhi * ih
+            return (
+                jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+                jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)),
+            )
+
+        t0lo, t0hi = iprod(n0lo, n0hi)
+        t1lo, t1hi = iprod(n1lo, n1hi)
+        near_lo = jnp.minimum(t0lo, t1lo)
+        far_hi = jnp.maximum(t0hi, t1hi)
+        entry = jnp.maximum(entry, near_lo)
+        exit_ = jnp.minimum(exit_, far_hi)
+    entry = jnp.maximum(entry, bt0[:, None])
+    exit_ = jnp.minimum(exit_, bt1[:, None])
+    return jnp.where(entry <= exit_, entry, INF)
+
+
+def _sweep_kernel(cls_ref, ok_ref, o_ref, d_ref, lim_ref, ex_ref, tri_ref,
+                  best_in_ref, out_ref, *, any_hit, c_size):
+    m = pl.program_id(1)
+
+    @pl.when(m == 0)
+    def _init():  # first candidate of this block: seed from the carry
+        out_ref[:] = best_in_ref[:]
+
+    b = pl.program_id(0)
+    valid = ok_ref[b, m] > 0
+
+    @pl.when(valid)
+    def _test():
+        o_x, o_y, o_z = o_ref[0, :], o_ref[1, :], o_ref[2, :]
+        d_x, d_y, d_z = d_ref[0, :], d_ref[1, :], d_ref[2, :]
+        tmin = lim_ref[0, :]
+        ex0, ex1, ex2 = ex_ref[0, :], ex_ref[1, :], ex_ref[2, :]
+        best_t = out_ref[0, :]
+        best_id = out_ref[1, :]
+        best_u = out_ref[2, :]
+        best_v = out_ref[3, :]
+        for j in range(c_size):  # static unroll: tri scalars become immediates
+            ax, ay, az = tri_ref[0, j, 0], tri_ref[0, j, 1], tri_ref[0, j, 2]
+            e1x, e1y, e1z = tri_ref[0, j, 3], tri_ref[0, j, 4], tri_ref[0, j, 5]
+            e2x, e2y, e2z = tri_ref[0, j, 6], tri_ref[0, j, 7], tri_ref[0, j, 8]
+            gid = tri_ref[0, j, 9]
+            px = d_y * e2z - d_z * e2y
+            py = d_z * e2x - d_x * e2z
+            pz = d_x * e2y - d_y * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            tx = o_x - ax
+            ty = o_y - ay
+            tz = o_z - az
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (qx * d_x + qy * d_y + qz * d_z) * inv_det
+            t = (qx * e2x + qy * e2y + qz * e2z) * inv_det
+            hit = (
+                (jnp.abs(det) > 1e-12)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > tmin)
+                & (t < best_t)
+                & (gid >= 0.0)
+                & (gid != ex0)
+                & (gid != ex1)
+                & (gid != ex2)
+            )
+            if any_hit:
+                best_id = jnp.where(hit, gid, best_id)
+            else:
+                best_t = jnp.where(hit, t, best_t)
+                best_id = jnp.where(hit, gid, best_id)
+                best_u = jnp.where(hit, u, best_u)
+                best_v = jnp.where(hit, v, best_v)
+        out_ref[0, :] = best_t
+        out_ref[1, :] = best_id
+        out_ref[2, :] = best_u
+        out_ref[3, :] = best_v
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
+def _sweep(cls_ix, ok, o_soa, d_soa, lim, ex, tri, best_in, any_hit,
+           interpret=False):
+    B = cls_ix.shape[0]
+    n = o_soa.shape[1]
+    c_size = tri.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # cls_ix [B, MAXC], ok [B, MAXC]
+        grid=(B, cls_ix.shape[1]),
+        in_specs=[
+            pl.BlockSpec((3, BLOCK), lambda b, m, c, k: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BLOCK), lambda b, m, c, k: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, BLOCK), lambda b, m, c, k: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BLOCK), lambda b, m, c, k: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_size, 12), lambda b, m, c, k: (c[b, m], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, BLOCK), lambda b, m, c, k: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, BLOCK), lambda b, m, c, k: (0, b), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_sweep_kernel, any_hit=any_hit, c_size=c_size),
+        out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(cls_ix, ok, o_soa, d_soa, lim, ex, tri, best_in)
+
+
+def intersect_pairs(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
+                    exclude2=None, any_hit=False, raw=False, interpret=False,
+                    maxc=MAXC):
+    """Exact closest-hit (or any-hit) via sorted blocks + pair sweep.
+
+    cl: ClusterArrays (accel/cluster.py). Returns Hit / occluded like
+    intersect_clusters; raw returns the (t, tri, u, v, occ) carry.
+    """
+    n = o.shape[0]
+    K = cl.num_clusters
+    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    B = n_pad // BLOCK
+    pad = n_pad - n
+
+    scene_lo = cl.cbmin.min(axis=0)
+    scene_hi = cl.cbmax.max(axis=0)
+    keys = _morton_keys(o, d, scene_lo[None, :], scene_hi[None, :])
+    perm = jnp.argsort(keys)
+
+    def srt(x, fill):
+        return jnp.pad(x[perm], ((0, pad),) + ((0, 0),) * (x.ndim - 1),
+                       constant_values=fill)
+
+    os_ = srt(o, 0.0)
+    ds_ = srt(d, 1.0)
+    tmins = srt(tmin, 0.0)
+    # dead padding lanes: t-limit -1 -> nothing ever hits (t > tmin fails)
+    tlims = srt(jnp.minimum(tmax, RAY_TMAX), -1.0)
+
+    def pack_ex(e):
+        return srt(e.astype(jnp.float32), -1.0) if e is not None else jnp.full((n_pad,), -1.0)
+
+    ex = jnp.stack([pack_ex(exclude0), pack_ex(exclude1), pack_ex(exclude2)])
+    o_soa = os_.T
+    d_soa = ds_.T
+    lim = jnp.stack([tmins, tlims])
+
+    # block interval summaries (constant across rounds)
+    ob = os_.reshape(B, BLOCK, 3)
+    olo, ohi = ob.min(axis=1), ob.max(axis=1)
+    inv_d = 1.0 / jnp.where(jnp.abs(ds_) < 1e-20,
+                            jnp.where(ds_ < 0, -1e-20, 1e-20), ds_)
+    ib = inv_d.reshape(B, BLOCK, 3)
+    ilo, ihi = ib.min(axis=1), ib.max(axis=1)
+    bt0 = tmins.reshape(B, BLOCK).min(axis=1)
+
+    # triangle table with a trailing dummy cluster (all-degenerate, id -1)
+    c_size = cl.tri.shape[1]
+    dummy = jnp.zeros((1, c_size, 12), jnp.float32).at[0, :, 9].set(-1.0)
+    tri = jnp.concatenate([cl.tri, dummy], axis=0)
+
+    best0 = jnp.stack([
+        tlims,
+        jnp.full((n_pad,), -1.0),
+        jnp.zeros((n_pad,)),
+        jnp.zeros((n_pad,)),
+    ])
+    INF = jnp.inf
+
+    def block_lim(best):
+        """Per-block cull horizon: worst live lane's best-t."""
+        bt = best[0].reshape(B, BLOCK)
+        if any_hit:
+            occ = best[1].reshape(B, BLOCK) >= 0.0
+            bt = jnp.where(occ, -INF, bt)
+        return bt.max(axis=1)
+
+    def round_cond(carry):
+        return jnp.any(carry[3])
+
+    def round_body(carry):
+        thresh_e, thresh_id, best, live = carry
+        bt1 = block_lim(best)
+        e = _block_entries(cl.cbmin, cl.cbmax, olo, ohi, ilo, ihi, bt0, bt1)
+        ids_row = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], e.shape)
+        after = (e > thresh_e[:, None]) | (
+            (e == thresh_e[:, None]) & (ids_row > thresh_id[:, None])
+        )
+        e = jnp.where(after & live[:, None], e, INF)
+        kk = min(maxc, K)
+        # stable top_k: ties by ascending cluster id (exactness of the
+        # lexicographic threshold across rounds)
+        neg, top_i = jax.lax.top_k(-e, kk)
+        top_e = -neg
+        top_i = top_i.astype(jnp.int32)
+        if kk < maxc:
+            top_e = jnp.pad(top_e, ((0, 0), (0, maxc - kk)), constant_values=INF)
+            top_i = jnp.pad(top_i, ((0, 0), (0, maxc - kk)), constant_values=0)
+        finite = jnp.isfinite(top_e)
+        cls_ix = jnp.where(finite, top_i, K).astype(jnp.int32)
+        ok = finite.astype(jnp.int32)
+        out = _sweep(cls_ix, ok, o_soa, d_soa, lim, ex, tri, best, any_hit,
+                     interpret)
+        last_e = top_e[:, -1]
+        last_i = top_i[:, -1]
+        new_live = live & jnp.isfinite(last_e) & (last_e < block_lim(out))
+        return (
+            jnp.where(new_live, last_e, thresh_e),
+            jnp.where(new_live, last_i, thresh_id),
+            out,
+            new_live,
+        )
+
+    carry = (
+        jnp.full((B,), -INF),
+        jnp.full((B,), -1, jnp.int32),
+        best0,
+        jnp.ones((B,), bool),
+    )
+    _, _, best, _ = jax.lax.while_loop(round_cond, round_body, carry)
+
+    # unsort: sorted position p holds ray perm[p], so original ray i reads
+    # position inv[i]
+    inv = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
+    t = best[0][inv]
+    tri_id = best[1][inv].astype(jnp.int32)
+    u = best[2][inv]
+    v = best[3][inv]
+    occ = tri_id >= 0
+    t = jnp.where(occ, t, RAY_TMAX)
+    if raw:
+        return t, tri_id, u, v, occ
+    if any_hit:
+        return occ
+    from .trace import Hit
+
+    return Hit(t=t, tri_id=tri_id, bary=jnp.stack([u, v], -1), valid=occ)

@@ -89,12 +89,17 @@ def main():
 
     import os
 
+    from akari_render_tpu.accel.pairs import intersect_pairs
+
     results = {}
-    for mode, env in (("super", "1"), ("flat", "0")):
+    for mode, env in (("pairs", None), ("super", "1"), ("flat", "0")):
         if mode == "super" and cl.sc_bmin is None:
             continue
-        os.environ["AKR_SUPERCLUSTERS"] = env
-        fn = jax.jit(lambda o, d: intersect_clusters(cl, o, d, tmin, tmax))
+        if mode == "pairs":
+            fn = jax.jit(lambda o, d: intersect_pairs(cl, o, d, tmin, tmax))
+        else:
+            os.environ["AKR_SUPERCLUSTERS"] = env
+            fn = jax.jit(lambda o, d: intersect_clusters(cl, o, d, tmin, tmax))
         hit = fn(o, d)
         jax.block_until_ready(hit)
         t0 = time.time()
@@ -109,10 +114,17 @@ def main():
             f"{mode:>6}: {mrays:8.3f} Mrays/s  ({dt*1e3:.1f} ms/{n} rays, "
             f"hit rate {float(hit.valid.mean()):.3f})"
         )
-    if len(results) == 2:
-        hs, hf = results["super"][1], results["flat"][1]
-        same = np.allclose(np.asarray(hs.t), np.asarray(hf.t), rtol=1e-5)
-        print(f"speedup: {results['super'][0]/results['flat'][0]:.2f}x, results match: {same}")
+    if "flat" in results:
+        hf = results["flat"][1]
+        for mode in ("pairs", "super"):
+            if mode not in results:
+                continue
+            hm = results[mode][1]
+            same = np.allclose(np.asarray(hm.t), np.asarray(hf.t), rtol=1e-5)
+            print(
+                f"{mode}: {results[mode][0]/results['flat'][0]:.2f}x over flat, "
+                f"results match: {same}"
+            )
 
 
 if __name__ == "__main__":
