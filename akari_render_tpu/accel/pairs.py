@@ -45,7 +45,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.math import RAY_TMAX
 
 BLOCK = 512  # rays per sorted block (VMEM-resident in the sweep)
-MAXC = 32  # candidate clusters selected per block per round
+MAXC = 32  # candidate clusters swept per block per round
+WINDOW_MULT = 8  # conservative candidates examined per swept candidate:
+# each round walks a WINDOW = MAXC*WINDOW_MULT slice of the block's
+# conservative enumeration and sweeps only members that pass >= 1 per-ray
+# slab test — zero-pass members are skipped VACUOUSLY (the per-ray slab is
+# conservative w.r.t. contained triangles, so no hit is possible), which
+# advances the threshold past them for free
 
 
 def _morton_keys(o, d, lo, hi):
@@ -109,6 +115,14 @@ def _block_entries(cbmin, cbmax, olo, ohi, ilo, ihi, bt0, bt1):
 
 def _sweep_kernel(cls_ref, ok_ref, o_ref, d_ref, lim_ref, ex_ref, tri_ref,
                   best_in_ref, out_ref, *, any_hit, c_size):
+    """MT-test one candidate cluster [C tris] against one ray block [B rays].
+
+    Fully vectorized [C, B] outer-product math: triangle components ride as
+    [C, 1] column vectors (no per-triangle scalar loads — the scalar-unrolled
+    variant spent most of its 6 us/step on ~1300 scalar VMEM reads). The
+    winning triangle per lane is reduced with a (t, slot) lexicographic pick
+    so ties resolve to the FIRST slot, matching the sequential semantics.
+    """
     m = pl.program_id(1)
 
     @pl.when(m == 0)
@@ -120,56 +134,67 @@ def _sweep_kernel(cls_ref, ok_ref, o_ref, d_ref, lim_ref, ex_ref, tri_ref,
 
     @pl.when(valid)
     def _test():
-        o_x, o_y, o_z = o_ref[0, :], o_ref[1, :], o_ref[2, :]
-        d_x, d_y, d_z = d_ref[0, :], d_ref[1, :], d_ref[2, :]
-        tmin = lim_ref[0, :]
-        ex0, ex1, ex2 = ex_ref[0, :], ex_ref[1, :], ex_ref[2, :]
+        tri = tri_ref[0]  # [C, 12]
+        a_x, a_y, a_z = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
+        e1x, e1y, e1z = tri[:, 3:4], tri[:, 4:5], tri[:, 5:6]
+        e2x, e2y, e2z = tri[:, 6:7], tri[:, 7:8], tri[:, 8:9]
+        gid = tri[:, 9:10]
+        d_x, d_y, d_z = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
+        o_x, o_y, o_z = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
+        tmin = lim_ref[0:1, :]
+        ex0, ex1, ex2 = ex_ref[0:1, :], ex_ref[1:2, :], ex_ref[2:3, :]
         best_t = out_ref[0, :]
         best_id = out_ref[1, :]
         best_u = out_ref[2, :]
         best_v = out_ref[3, :]
-        for j in range(c_size):  # static unroll: tri scalars become immediates
-            ax, ay, az = tri_ref[0, j, 0], tri_ref[0, j, 1], tri_ref[0, j, 2]
-            e1x, e1y, e1z = tri_ref[0, j, 3], tri_ref[0, j, 4], tri_ref[0, j, 5]
-            e2x, e2y, e2z = tri_ref[0, j, 6], tri_ref[0, j, 7], tri_ref[0, j, 8]
-            gid = tri_ref[0, j, 9]
-            px = d_y * e2z - d_z * e2y
-            py = d_z * e2x - d_x * e2z
-            pz = d_x * e2y - d_y * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-            tx = o_x - ax
-            ty = o_y - ay
-            tz = o_z - az
-            u = (tx * px + ty * py + tz * pz) * inv_det
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (qx * d_x + qy * d_y + qz * d_z) * inv_det
-            t = (qx * e2x + qy * e2y + qz * e2z) * inv_det
-            hit = (
-                (jnp.abs(det) > 1e-12)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t > tmin)
-                & (t < best_t)
-                & (gid >= 0.0)
-                & (gid != ex0)
-                & (gid != ex1)
-                & (gid != ex2)
-            )
-            if any_hit:
-                best_id = jnp.where(hit, gid, best_id)
-            else:
-                best_t = jnp.where(hit, t, best_t)
-                best_id = jnp.where(hit, gid, best_id)
-                best_u = jnp.where(hit, u, best_u)
-                best_v = jnp.where(hit, v, best_v)
-        out_ref[0, :] = best_t
-        out_ref[1, :] = best_id
-        out_ref[2, :] = best_u
-        out_ref[3, :] = best_v
+
+        # [C, 1] x [1, B] -> [C, B]
+        px = d_y * e2z - d_z * e2y
+        py = d_z * e2x - d_x * e2z
+        pz = d_x * e2y - d_y * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tx = o_x - a_x
+        ty = o_y - a_y
+        tz = o_z - a_z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (qx * d_x + qy * d_y + qz * d_z) * inv_det
+        t = (qx * e2x + qy * e2y + qz * e2z) * inv_det
+        hit = (
+            (jnp.abs(det) > 1e-12)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > tmin)
+            & (t < best_t[None, :])
+            & (gid >= 0.0)
+            & (gid != ex0)
+            & (gid != ex1)
+            & (gid != ex2)
+        )
+        if any_hit:
+            got = jnp.any(hit, axis=0)
+            gsel = jnp.min(jnp.where(hit, gid, jnp.inf), axis=0)
+            out_ref[1, :] = jnp.where(got, gsel, best_id)
+        else:
+            INF = jnp.float32(jnp.inf)
+            t_m = jnp.where(hit, t, INF)
+            t_min = jnp.min(t_m, axis=0)  # [B]
+            slot = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 0)
+            is_min = t_m == t_min[None, :]
+            s_min = jnp.min(jnp.where(is_min, slot, jnp.int32(1 << 30)), axis=0)
+            sel = is_min & (slot == s_min[None, :])  # exactly one per lane
+            better = t_min < best_t
+            u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
+            v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=0)
+            g_sel = jnp.sum(jnp.where(sel, jnp.broadcast_to(gid, t_m.shape), 0.0), axis=0)
+            out_ref[0, :] = jnp.where(better, t_min, best_t)
+            out_ref[1, :] = jnp.where(better, g_sel, best_id)
+            out_ref[2, :] = jnp.where(better, u_sel, best_u)
+            out_ref[3, :] = jnp.where(better, v_sel, best_v)
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
@@ -269,6 +294,11 @@ def intersect_pairs(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
     def round_cond(carry):
         return jnp.any(carry[3])
 
+    maxc_eff = min(maxc, K)
+    W = min(maxc_eff * WINDOW_MULT, K)
+    rowsB = jnp.arange(B)
+    posW = jnp.arange(W, dtype=jnp.int32)
+
     def round_body(carry):
         thresh_e, thresh_id, best, live = carry
         bt1 = block_lim(best)
@@ -278,26 +308,57 @@ def intersect_pairs(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
             (e == thresh_e[:, None]) & (ids_row > thresh_id[:, None])
         )
         e = jnp.where(after & live[:, None], e, INF)
-        kk = min(maxc, K)
-        # stable top_k: ties by ascending cluster id (exactness of the
-        # lexicographic threshold across rounds)
-        neg, top_i = jax.lax.top_k(-e, kk)
-        top_e = -neg
-        top_i = top_i.astype(jnp.int32)
-        if kk < maxc:
-            top_e = jnp.pad(top_e, ((0, 0), (0, maxc - kk)), constant_values=INF)
-            top_i = jnp.pad(top_i, ((0, 0), (0, maxc - kk)), constant_values=0)
-        finite = jnp.isfinite(top_e)
-        cls_ix = jnp.where(finite, top_i, K).astype(jnp.int32)
-        ok = finite.astype(jnp.int32)
-        out = _sweep(cls_ix, ok, o_soa, d_soa, lim, ex, tri, best, any_hit,
-                     interpret)
-        last_e = top_e[:, -1]
-        last_i = top_i[:, -1]
-        new_live = live & jnp.isfinite(last_e) & (last_e < block_lim(out))
+        # window: next W conservative candidates, ascending (stable top_k:
+        # ties by ascending cluster id — exactness of the lex threshold)
+        neg, win_i = jax.lax.top_k(-e, W)
+        win_e = -neg
+        win_i = win_i.astype(jnp.int32)
+
+        # per-ray slab refinement: [B, BLOCK, W]
+        wbmin = cl.cbmin[win_i]  # [B, W, 3]
+        wbmax = cl.cbmax[win_i]
+        near = jnp.full((B, BLOCK, W), -INF)
+        far = jnp.full((B, BLOCK, W), INF)
+        for a in range(3):
+            t0 = (wbmin[..., a][:, None, :] - ob[..., a][:, :, None]) * ib[..., a][:, :, None]
+            t1 = (wbmax[..., a][:, None, :] - ob[..., a][:, :, None]) * ib[..., a][:, :, None]
+            near = jnp.maximum(near, jnp.minimum(t0, t1))
+            far = jnp.minimum(far, jnp.maximum(t0, t1))
+        lane_t0 = tmins.reshape(B, BLOCK)
+        lane_t1 = best[0].reshape(B, BLOCK)
+        if any_hit:
+            lane_t1 = jnp.where(best[1].reshape(B, BLOCK) >= 0.0, -INF, lane_t1)
+        pass_ray = (
+            jnp.maximum(near, lane_t0[..., None])
+            <= jnp.minimum(far, lane_t1[..., None])
+        )
+        nonzero = jnp.any(pass_ray, axis=1) & jnp.isfinite(win_e)  # [B, W]
+
+        # walk the window in conservative order: sweep the first maxc
+        # nonzero-pass members; zero-pass members before the cut are consumed
+        # vacuously (no ray can hit them)
+        kept_rank = jnp.cumsum(nonzero.astype(jnp.int32), axis=1)
+        selected = nonzero & (kept_rank <= maxc_eff)
+        kept_count = kept_rank[:, -1]
+        full_consume = kept_count <= maxc_eff
+        cut = jnp.max(jnp.where(selected, posW[None, :], -1), axis=1)
+        cut_pos = jnp.where(full_consume, W - 1, cut)
+        thr_e_new = win_e[rowsB, cut_pos]
+        thr_i_new = win_i[rowsB, cut_pos]
+
+        # compact the selected members (order-preserving) into [B, maxc_eff]
+        key = jnp.where(selected, posW[None, :], W + posW[None, :])
+        order = jnp.argsort(key, axis=1)[:, :maxc_eff]
+        cand_ok = jnp.take_along_axis(selected, order, axis=1)
+        cls_ix = jnp.where(
+            cand_ok, jnp.take_along_axis(win_i, order, axis=1), K
+        ).astype(jnp.int32)
+        out = _sweep(cls_ix, cand_ok.astype(jnp.int32), o_soa, d_soa, lim, ex,
+                     tri, best, any_hit, interpret)
+        new_live = live & jnp.isfinite(thr_e_new) & (thr_e_new < block_lim(out))
         return (
-            jnp.where(new_live, last_e, thresh_e),
-            jnp.where(new_live, last_i, thresh_id),
+            jnp.where(new_live, thr_e_new, thresh_e),
+            jnp.where(new_live, thr_i_new, thresh_id),
             out,
             new_live,
         )

@@ -24,33 +24,76 @@ from ..scene import Scene
 from .common import PTSettings, trace_paths
 
 
+def max_wavefront_lanes(scene: Scene) -> int:
+    """Lane cap per traced wavefront so accel intermediates stay in HBM.
+
+    The cluster tiers materialize [lanes, min(K, CULL_CHUNK)] f32 buffers
+    during culling; cap their element count (~1 GB f32 per buffer) so big
+    frames (classroom 1920x1080 = 2.07M pixels) compile — the full-frame
+    dispatch was observed to crash the TPU compile helper. Overridable via
+    AKR_MAX_LANES."""
+    import os
+
+    env = os.environ.get("AKR_MAX_LANES")
+    if env:
+        return max(1024, int(env))
+    k_eff = 0
+    a = scene.arrays
+    if a.bvh is not None:
+        from ..accel.cluster import CULL_CHUNK
+
+        k_eff = max(k_eff, min(a.bvh["clusters"].num_clusters, CULL_CHUNK))
+    if a.instanced is not None:
+        from ..accel.cluster import CULL_CHUNK
+
+        k_eff = max(k_eff, min(int(a.instanced.clusters.cbmin.shape[0]), CULL_CHUNK))
+    if k_eff == 0:
+        return 1 << 22  # brute/pallas tiers: no [N, K] intermediates
+    budget_elems = 1 << 26  # 256 MB f32 [lanes, K] buffers; also keeps one
+    # block's dispatch under the ~60 s relay watchdog
+    return max(1 << 16, budget_elems // k_eff)
+
+
 def _render_pass_fn(scene: Scene, settings: PTSettings, filt, width, height, spp_chunk, seed=0, sampler_config=None):
     """Build the jitted one-pass function (traced once, reused every pass).
 
     Renders `spp_chunk` samples per pixel per call with the sample loop
     INSIDE jit (lax.fori_loop) so one device dispatch covers the whole pass —
     important under the remote-TPU relay where each dispatch has high latency.
+    Frames wider than max_wavefront_lanes trace in pixel blocks (inner fori)
+    so accel intermediates stay bounded regardless of resolution.
     """
 
     npix = width * height
     from ..core.lds import make_sampler
 
-    def one_sample(sample_idx, carry):
-        film, arrays = carry
+    pb = min(npix, max_wavefront_lanes(scene))
+    n_blocks = -(-npix // pb)
+    npad = n_blocks * pb
+
+    def trace_block(arrays, sample_idx, pix):
+        """One wavefront: pix [PB] uint32 (>= npix lanes are dead)."""
         sc = replace(scene, arrays=arrays)
-        pix = jnp.arange(npix, dtype=jnp.uint32)
-        sampler = make_sampler(sampler_config, pix, sample_idx.astype(jnp.uint32), seed)
+        valid = pix < npix
+        pixc = jnp.minimum(pix, npix - 1)
+        sampler = make_sampler(sampler_config, pixc, sample_idx.astype(jnp.uint32), seed)
         sampler, u_film = sampler.next_2d()
         off, fw = filt.sample(u_film)
         p_film = (
             jnp.stack(
-                [(pix % width).astype(jnp.float32), (pix // width).astype(jnp.float32)], -1
+                [(pixc % width).astype(jnp.float32), (pixc // width).astype(jnp.float32)], -1
             )
             + 0.5
             + off
         )
         ray_o, ray_d = generate_rays(sc.camera, p_film)
         radiance, aux, sampler = trace_paths(sc, settings, ray_o, ray_d, sampler)
+        return radiance, jnp.where(valid, fw, 0.0)
+
+    def one_sample(sample_idx, carry):
+        film, arrays = carry
+        pix = jnp.arange(npix, dtype=jnp.uint32)
+        radiance, fw = trace_block(arrays, sample_idx, pix)
         # lane i IS pixel i: no scatter (pt.rs:1100 binning semantics)
         from ..core.film import add_samples_aligned
 
@@ -64,7 +107,48 @@ def _render_pass_fn(scene: Scene, settings: PTSettings, filt, width, height, spp
         )
         return film
 
-    return jax.jit(one_pass, donate_argnums=(1,))
+    if n_blocks == 1:
+        return jax.jit(one_pass, donate_argnums=(1,))
+
+    # Big frame: ONE pixel block per device dispatch (each dispatch must
+    # stay under the ~60 s relay watchdog, so the block loop lives on the
+    # host). The jitted step takes the block index as a traced arg.
+    from ..core.film import remove_nan
+
+    def block_samples(sample_idx, carry):
+        film, arrays, p0 = carry
+        pix = (p0 + jnp.arange(pb, dtype=jnp.int32)).astype(jnp.uint32)
+        radiance, fw = trace_block(arrays, sample_idx, pix)
+        color = remove_nan(radiance) * fw[..., None]
+        acc = jax.lax.dynamic_slice(film.accum, (p0, 0), (pb, 3))
+        w = jax.lax.dynamic_slice(film.weight, (p0,), (pb,))
+        film = film._replace(
+            accum=jax.lax.dynamic_update_slice(film.accum, acc + color, (p0, 0)),
+            weight=jax.lax.dynamic_update_slice(film.weight, w + fw, (p0,)),
+        )
+        return film, arrays, p0
+
+    def one_block_pass(arrays, film: Film, start_sample, block):
+        start = start_sample.astype(jnp.int32)
+        film = film._replace(  # pad so every pixel block is full-width
+            accum=jnp.pad(film.accum, ((0, npad - npix), (0, 0))),
+            weight=jnp.pad(film.weight, ((0, npad - npix),)),
+        )
+        p0 = block.astype(jnp.int32) * pb
+        film, _, _ = jax.lax.fori_loop(
+            start, start + spp_chunk, block_samples, (film, arrays, p0)
+        )
+        return film._replace(accum=film.accum[:npix], weight=film.weight[:npix])
+
+    blocked = jax.jit(one_block_pass, donate_argnums=(1,))
+
+    def run_pass(arrays, film, start_sample):
+        for b in range(n_blocks):
+            film = blocked(arrays, film, start_sample, jnp.int32(b))
+        return film
+
+    run_pass.n_blocks = n_blocks
+    return run_pass
 
 
 def render_pt(scene: Scene, config: PTConfig, task=None, progress_cb=None,
@@ -143,7 +227,10 @@ def render_pt(scene: Scene, config: PTConfig, task=None, progress_cb=None,
         jax.block_until_ready(film)
         done += 1
         per_spp = time.time() - tp
-        max_chunk = max(1, int(budget / max(per_spp, 1e-6)))
+        # blocked passes issue n_blocks dispatches; the watchdog budget
+        # applies per dispatch
+        per_dispatch = per_spp / getattr(probe, "n_blocks", 1)
+        max_chunk = max(1, int(budget / max(per_dispatch, 1e-6)))
         remaining = config.spp - done
         if spp_chunk > max_chunk:
             # balance chunks over the remaining samples (fewest equal-ish

@@ -138,6 +138,12 @@ class Scene:
             return intersect_brute_force(
                 o, d, tmin, tmax, a.v0, a.e1, a.e2, exclude0, exclude1, exclude2
             )
+        if _use_pairs():
+            from .accel.pairs import intersect_pairs
+
+            return intersect_pairs(
+                a.bvh["clusters"], o, d, tmin, tmax, exclude0, exclude1, exclude2
+            )
         from .accel.cluster import intersect_clusters
 
         return intersect_clusters(
@@ -262,6 +268,13 @@ class Scene:
 
             return occlude_brute_force(
                 o, d, tmin, tmax, a.v0, a.e1, a.e2, exclude0, exclude1, exclude2
+            )
+        if _use_pairs():
+            from .accel.pairs import intersect_pairs
+
+            return intersect_pairs(
+                a.bvh["clusters"], o, d, tmin, tmax, exclude0, exclude1,
+                exclude2, any_hit=True,
             )
         from .accel.cluster import intersect_clusters
 
@@ -472,6 +485,15 @@ def _on_tpu() -> bool:
     import jax
 
     return jax.devices()[0].platform == "tpu"
+
+
+def _use_pairs() -> bool:
+    """Route the cluster tier through the pair-sweep traversal (accel/pairs):
+    measured >= 5x the flat rounds on coherent rays at 2M tris and never
+    slower. TPU-only (the sweep is a Pallas kernel); AKR_PAIRS=0 reverts."""
+    import os
+
+    return _on_tpu() and os.environ.get("AKR_PAIRS", "1") != "0"
 
 
 def _onb(n):
