@@ -53,6 +53,12 @@ class ClusterArrays(NamedTuple):
     sc_bmin: jnp.ndarray | None = None  # [K2, 3]
     sc_bmax: jnp.ndarray | None = None  # [K2, 3]
     cl_bounds: jnp.ndarray | None = None  # [K2, G, 6] child AABBs (min|max)
+    # optional unified-instancing extension (accel/instanced.py
+    # build_unified_clusters): candidate k's triangles live at tri[tri_row[k]]
+    # in LOCAL space and the sweep applies xf[k] (world->local affine rows +
+    # global-id offset) to the ray — N instances of a mesh share tri rows
+    xf: jnp.ndarray | None = None  # [K, 16] minv(12) | id_off | pad(3)
+    tri_row: jnp.ndarray | None = None  # [K] int32 row into tri
 
     @property
     def num_clusters(self) -> int:  # static: from array shape, jit-safe

@@ -193,6 +193,64 @@ def build_instanced(meshes: list[dict], instances: list[dict], tri_base0: int):
     )
 
 
+def build_unified_clusters(ia: InstancedArrays, flat_cl: ClusterArrays | None
+                           ) -> ClusterArrays:
+    """Fuse the flat-soup clusters and every instance's (shared) local
+    clusters into ONE world-space candidate list for the pair sweep
+    (accel/pairs.py): candidate k carries a world AABB, a row into the
+    concatenated triangle table, and world->local transform rows + a
+    global-id offset applied inside the sweep kernel. N instances of a mesh
+    share the mesh's triangle rows — O(M)+O(N) HBM, same as the two-level
+    structure, but traversal is a single cull+sweep instead of nested
+    per-instance cluster traversals (classroom: 388 -> ~40 ms per 32k-ray
+    bounce). Replaces rtx TLAS/BLAS dispatch (ref mesh.rs:288-333)."""
+    lcb_min = np.asarray(ia.clusters.cbmin)
+    lcb_max = np.asarray(ia.clusters.cbmax)
+    m = np.asarray(ia.m)
+    minv = np.asarray(ia.minv)
+    cl_lo = np.asarray(ia.cluster_lo)
+    cl_hi = np.asarray(ia.cluster_hi)
+    base = np.asarray(ia.tri_base)
+    start = np.asarray(ia.mesh_tri_start)
+
+    kf = flat_cl.num_clusters if flat_cl is not None else 0
+    bmins, bmaxs, xfs, rows = [], [], [], []
+    if flat_cl is not None:
+        bmins.append(np.asarray(flat_cl.cbmin))
+        bmaxs.append(np.asarray(flat_cl.cbmax))
+        ident = np.zeros((kf, 16), np.float32)
+        ident[:, 0] = ident[:, 5] = ident[:, 10] = 1.0
+        xfs.append(ident)
+        rows.append(np.arange(kf, dtype=np.int32))
+    for i in range(len(cl_lo)):
+        lo, hi = int(cl_lo[i]), int(cl_hi[i])
+        lb, ub = lcb_min[lo:hi], lcb_max[lo:hi]
+        R = m[i].reshape(3, 4)
+        c = (lb + ub) * 0.5
+        e = (ub - lb) * 0.5
+        wc = c @ R[:, :3].T + R[:, 3]
+        we = e @ np.abs(R[:, :3]).T
+        bmins.append((wc - we).astype(np.float32))
+        bmaxs.append((wc + we).astype(np.float32))
+        xf = np.zeros((hi - lo, 16), np.float32)
+        xf[:, :12] = minv[i]
+        xf[:, 12] = np.float32(base[i] - start[i])
+        xfs.append(xf)
+        rows.append(np.arange(kf + lo, kf + hi, dtype=np.int32))
+
+    tri_tabs = ([np.asarray(flat_cl.tri)] if flat_cl is not None else []) + [
+        np.asarray(ia.clusters.tri)
+    ]
+    return ClusterArrays(
+        cbmin=jnp.asarray(np.concatenate(bmins)),
+        cbmax=jnp.asarray(np.concatenate(bmaxs)),
+        tri=jnp.asarray(np.concatenate(tri_tabs)),
+        order=jnp.zeros((0,), jnp.int32),
+        xf=jnp.asarray(np.concatenate(xfs)),
+        tri_row=jnp.asarray(np.concatenate(rows)),
+    )
+
+
 def _inst_entries(ia: InstancedArrays, o, d, tmin, tmax):
     """Entry distance per (instance, ray): [I, N]; +inf on miss."""
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)

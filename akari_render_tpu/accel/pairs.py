@@ -113,8 +113,9 @@ def _block_entries(cbmin, cbmax, olo, ohi, ilo, ihi, bt0, bt1):
     return jnp.where(entry <= exit_, entry, INF)
 
 
-def _sweep_kernel(cls_ref, ok_ref, o_ref, d_ref, lim_ref, ex_ref, tri_ref,
-                  best_in_ref, out_ref, *, any_hit, c_size):
+def _sweep_kernel(tri_ix_ref, xf_ix_ref, o_ref, d_ref, lim_ref, ex_ref,
+                  tri_ref, xf_ref, best_in_ref, out_ref, *, any_hit, c_size,
+                  dummy_row):
     """MT-test one candidate cluster [C tris] against one ray block [B rays].
 
     Fully vectorized [C, B] outer-product math: triangle components ride as
@@ -122,6 +123,11 @@ def _sweep_kernel(cls_ref, ok_ref, o_ref, d_ref, lim_ref, ex_ref, tri_ref,
     variant spent most of its 6 us/step on ~1300 scalar VMEM reads). The
     winning triangle per lane is reduced with a (t, slot) lexicographic pick
     so ties resolve to the FIRST slot, matching the sequential semantics.
+
+    xf_ref carries the candidate's world->local affine rows + global-id
+    offset (identity/0 for non-instanced candidates): the ray is transformed
+    per candidate with an UNNORMALIZED local direction, so t stays the world
+    ray parameter (instanced two-level semantics, ref mesh.rs:288-333).
     """
     m = pl.program_id(1)
 
@@ -130,7 +136,7 @@ def _sweep_kernel(cls_ref, ok_ref, o_ref, d_ref, lim_ref, ex_ref, tri_ref,
         out_ref[:] = best_in_ref[:]
 
     b = pl.program_id(0)
-    valid = ok_ref[b, m] > 0
+    valid = tri_ix_ref[b, m] < dummy_row
 
     @pl.when(valid)
     def _test():
@@ -139,8 +145,16 @@ def _sweep_kernel(cls_ref, ok_ref, o_ref, d_ref, lim_ref, ex_ref, tri_ref,
         e1x, e1y, e1z = tri[:, 3:4], tri[:, 4:5], tri[:, 5:6]
         e2x, e2y, e2z = tri[:, 6:7], tri[:, 7:8], tri[:, 8:9]
         gid = tri[:, 9:10]
-        d_x, d_y, d_z = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
-        o_x, o_y, o_z = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
+        x = xf_ref[0]  # [1, 16] world->local rows
+        wd_x, wd_y, wd_z = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
+        wo_x, wo_y, wo_z = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
+        o_x = x[0, 0] * wo_x + x[0, 1] * wo_y + x[0, 2] * wo_z + x[0, 3]
+        o_y = x[0, 4] * wo_x + x[0, 5] * wo_y + x[0, 6] * wo_z + x[0, 7]
+        o_z = x[0, 8] * wo_x + x[0, 9] * wo_y + x[0, 10] * wo_z + x[0, 11]
+        d_x = x[0, 0] * wd_x + x[0, 1] * wd_y + x[0, 2] * wd_z
+        d_y = x[0, 4] * wd_x + x[0, 5] * wd_y + x[0, 6] * wd_z
+        d_z = x[0, 8] * wd_x + x[0, 9] * wd_y + x[0, 10] * wd_z
+        id_off = x[0, 12]
         tmin = lim_ref[0:1, :]
         ex0, ex1, ex2 = ex_ref[0:1, :], ex_ref[1:2, :], ex_ref[2:3, :]
         best_t = out_ref[0, :]
@@ -163,6 +177,7 @@ def _sweep_kernel(cls_ref, ok_ref, o_ref, d_ref, lim_ref, ex_ref, tri_ref,
         qz = tx * e1y - ty * e1x
         v = (qx * d_x + qy * d_y + qz * d_z) * inv_det
         t = (qx * e2x + qy * e2y + qz * e2z) * inv_det
+        gidw = gid + id_off  # global virtual id ([C,1] + scalar)
         hit = (
             (jnp.abs(det) > 1e-12)
             & (u >= 0.0)
@@ -170,14 +185,14 @@ def _sweep_kernel(cls_ref, ok_ref, o_ref, d_ref, lim_ref, ex_ref, tri_ref,
             & (u + v <= 1.0)
             & (t > tmin)
             & (t < best_t[None, :])
-            & (gid >= 0.0)
-            & (gid != ex0)
-            & (gid != ex1)
-            & (gid != ex2)
+            & (gid >= 0.0)  # padding check on the LOCAL id (offset-free)
+            & (gidw != ex0)
+            & (gidw != ex1)
+            & (gidw != ex2)
         )
         if any_hit:
             got = jnp.any(hit, axis=0)
-            gsel = jnp.min(jnp.where(hit, gid, jnp.inf), axis=0)
+            gsel = jnp.min(jnp.where(hit, gidw, jnp.inf), axis=0)
             out_ref[1, :] = jnp.where(got, gsel, best_id)
         else:
             INF = jnp.float32(jnp.inf)
@@ -190,7 +205,7 @@ def _sweep_kernel(cls_ref, ok_ref, o_ref, d_ref, lim_ref, ex_ref, tri_ref,
             better = t_min < best_t
             u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
             v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=0)
-            g_sel = jnp.sum(jnp.where(sel, jnp.broadcast_to(gid, t_m.shape), 0.0), axis=0)
+            g_sel = jnp.sum(jnp.where(sel, jnp.broadcast_to(gidw, t_m.shape), 0.0), axis=0)
             out_ref[0, :] = jnp.where(better, t_min, best_t)
             out_ref[1, :] = jnp.where(better, g_sel, best_id)
             out_ref[2, :] = jnp.where(better, u_sel, best_u)
@@ -198,30 +213,33 @@ def _sweep_kernel(cls_ref, ok_ref, o_ref, d_ref, lim_ref, ex_ref, tri_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
-def _sweep(cls_ix, ok, o_soa, d_soa, lim, ex, tri, best_in, any_hit,
-           interpret=False):
-    B = cls_ix.shape[0]
+def _sweep(tri_ix, xf_ix, o_soa, d_soa, lim, ex, tri, xf_tab, best_in,
+           any_hit, interpret=False):
+    B = tri_ix.shape[0]
     n = o_soa.shape[1]
     c_size = tri.shape[1]
+    dummy_row = tri.shape[0] - 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # cls_ix [B, MAXC], ok [B, MAXC]
-        grid=(B, cls_ix.shape[1]),
+        num_scalar_prefetch=2,  # tri_ix [B, MAXC], xf_ix [B, MAXC]
+        grid=(B, tri_ix.shape[1]),
         in_specs=[
-            pl.BlockSpec((3, BLOCK), lambda b, m, c, k: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLOCK), lambda b, m, c, k: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, BLOCK), lambda b, m, c, k: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLOCK), lambda b, m, c, k: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c_size, 12), lambda b, m, c, k: (c[b, m], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, BLOCK), lambda b, m, c, k: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_size, 12), lambda b, m, c, x: (c[b, m], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 16), lambda b, m, c, x: (x[b, m], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((4, BLOCK), lambda b, m, c, k: (0, b), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((4, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_sweep_kernel, any_hit=any_hit, c_size=c_size),
+        functools.partial(_sweep_kernel, any_hit=any_hit, c_size=c_size,
+                          dummy_row=dummy_row),
         out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(cls_ix, ok, o_soa, d_soa, lim, ex, tri, best_in)
+    )(tri_ix, xf_ix, o_soa, d_soa, lim, ex, tri, xf_tab, best_in)
 
 
 def intersect_pairs(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
@@ -274,6 +292,14 @@ def intersect_pairs(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
     c_size = cl.tri.shape[1]
     dummy = jnp.zeros((1, c_size, 12), jnp.float32).at[0, :, 9].set(-1.0)
     tri = jnp.concatenate([cl.tri, dummy], axis=0)
+    dummy_row = tri.shape[0] - 1
+    tri_row = cl.tri_row if cl.tri_row is not None else jnp.arange(K, dtype=jnp.int32)
+    ident = jnp.zeros((1, 16), jnp.float32).at[0, 0].set(1.0).at[0, 5].set(1.0).at[0, 10].set(1.0)
+    # unified instancing: per-candidate world->local transform rows; plain
+    # scenes share a single identity row (xf_ix stays 0). [KX, 1, 16]: the
+    # Mosaic block (1, 1, 16) needs its last two dims to match the array's.
+    xf_tab = (jnp.concatenate([cl.xf, ident], axis=0) if cl.xf is not None
+              else ident)[:, None, :]
 
     best0 = jnp.stack([
         tlims,
@@ -350,11 +376,14 @@ def intersect_pairs(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
         key = jnp.where(selected, posW[None, :], W + posW[None, :])
         order = jnp.argsort(key, axis=1)[:, :maxc_eff]
         cand_ok = jnp.take_along_axis(selected, order, axis=1)
-        cls_ix = jnp.where(
-            cand_ok, jnp.take_along_axis(win_i, order, axis=1), K
-        ).astype(jnp.int32)
-        out = _sweep(cls_ix, cand_ok.astype(jnp.int32), o_soa, d_soa, lim, ex,
-                     tri, best, any_hit, interpret)
+        cand_i = jnp.take_along_axis(win_i, order, axis=1)
+        tri_ix = jnp.where(cand_ok, tri_row[cand_i], dummy_row).astype(jnp.int32)
+        if cl.xf is not None:
+            xf_ix = jnp.where(cand_ok, cand_i, K).astype(jnp.int32)
+        else:
+            xf_ix = jnp.zeros_like(tri_ix)
+        out = _sweep(tri_ix, xf_ix, o_soa, d_soa, lim, ex,
+                     tri, xf_tab, best, any_hit, interpret)
         new_live = live & jnp.isfinite(thr_e_new) & (thr_e_new < block_lim(out))
         return (
             jnp.where(new_live, thr_e_new, thresh_e),

@@ -56,6 +56,9 @@ class SceneArrays(NamedTuple):
     # two-level instanced accel for repeated non-emissive geometry
     # (accel/instanced.py, ref mesh.rs:288-333 BLAS/TLAS), or None
     instanced: object = None
+    # unified flat+instanced world candidate list for the TPU pair sweep
+    # (accel/instanced.py build_unified_clusters), or None
+    unified: object = None
 
 
 @dataclass
@@ -89,7 +92,31 @@ class Scene:
     def intersect(self, o, d, tmin, tmax, exclude0=None, exclude1=None, exclude2=None):
         """Closest-hit through whichever accel the scene carries
         (the rtx::Accel::intersect analog, scene.rs:111-153). Scenes with an
-        instanced part min-combine the flat-soup hit with the two-level hit."""
+        instanced part min-combine the flat-soup hit with the two-level hit;
+        on TPU the unified pair sweep covers flat clusters + instances in one
+        traversal."""
+        a = self.arrays
+        if a.unified is not None and _use_pairs():
+            from .accel.pairs import intersect_pairs
+
+            hit_u = intersect_pairs(
+                a.unified, o, d, tmin, tmax, exclude0, exclude1, exclude2
+            )
+            if a.bvh is not None:  # unified already includes the flat clusters
+                return hit_u
+            import jax
+
+            hit = self._intersect_flat(
+                o, d, tmin, jnp.minimum(tmax, hit_u.t), exclude0, exclude1, exclude2
+            )
+            better = hit_u.valid & (hit_u.t < hit.t)
+            return jax.tree_util.tree_map(
+                lambda a_, b_: jnp.where(
+                    better.reshape(better.shape + (1,) * (a_.ndim - 1)), b_, a_
+                ),
+                hit,
+                hit_u,
+            )
         hit = self._intersect_flat(o, d, tmin, tmax, exclude0, exclude1, exclude2)
         if self.arrays.instanced is None:
             return hit
@@ -240,6 +267,19 @@ class Scene:
 
     def occlude(self, o, d, tmin, tmax, exclude0=None, exclude1=None, exclude2=None):
         """Any-hit (the rtx occlude analog, scene.rs:154-185)."""
+        a = self.arrays
+        if a.unified is not None and _use_pairs():
+            from .accel.pairs import intersect_pairs
+
+            occ_u = intersect_pairs(
+                a.unified, o, d, tmin, tmax, exclude0, exclude1, exclude2,
+                any_hit=True,
+            )
+            if a.bvh is not None:
+                return occ_u
+            return occ_u | self._occlude_flat(
+                o, d, tmin, tmax, exclude0, exclude1, exclude2
+            )
         occ = self._occlude_flat(o, d, tmin, tmax, exclude0, exclude1, exclude2)
         if self.arrays.instanced is None:
             return occ
@@ -696,6 +736,14 @@ def load_scene(path: str, width: int | None = None, height: int | None = None) -
             spec["slot_mat"] = [name_to_idx[m] for m in spec["materials"]] or [0]
             spec["slot_kind"] = [refs[m].kind for m in spec["materials"]] or [0]
         inst_arrays, _ = build_instanced(mesh_list, inst_specs, num_tris)
+        # unified world-space candidate list: flat clusters + every
+        # instance's (shared) local clusters, traversed by ONE pair sweep on
+        # TPU instead of nested per-instance traversals
+        from .accel.instanced import build_unified_clusters
+
+        unified = build_unified_clusters(
+            inst_arrays, bvh_field["clusters"] if bvh_field else None
+        )
 
     placeholder_lights = LightArrays.build([], [], num_tris)
     arrays = SceneArrays(
@@ -716,6 +764,7 @@ def load_scene(path: str, width: int | None = None, height: int | None = None) -
         const_emission=_const_emission_table(sg, mat_names),
         lights=placeholder_lights,  # rebuilt below once emission is known
         instanced=inst_arrays,
+        unified=unified if inst_specs else None,
     )
     # static alpha scan (decides whether traversal needs the restart loop)
     verdicts = [
