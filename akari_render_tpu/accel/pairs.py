@@ -45,13 +45,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.math import RAY_TMAX
 
 BLOCK = 512  # rays per sorted block (VMEM-resident in the sweep)
-MAXC = 32  # candidate clusters swept per block per round
-WINDOW_MULT = 8  # conservative candidates examined per swept candidate:
+MAXC = 64  # candidate clusters swept per block per round
+WINDOW_MULT = 16  # conservative candidates examined per swept candidate:
 # each round walks a WINDOW = MAXC*WINDOW_MULT slice of the block's
 # conservative enumeration and sweeps only members that pass >= 1 per-ray
 # slab test — zero-pass members are skipped VACUOUSLY (the per-ray slab is
 # conservative w.r.t. contained triangles, so no hit is possible), which
-# advances the threshold past them for free
+# advances the threshold past them for free. (512, 64, 16) won a sweep on
+# the 2M-tri heightfield (0.237 -> 0.289 Mrays/s) and ties on classroom.
 
 
 def _morton_keys(o, d, lo, hi):

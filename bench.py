@@ -52,22 +52,25 @@ def _flops_per_path(scene, max_depth):
     """First-order FLOP model of one path through the current accel tier —
     the denominator for a roofline-style utilization estimate. Counts only
     the dominant dense intersection math (Moller-Trumbore ~60 flops/test,
-    AABB slab ~15), ignoring shading (cbox: shade is <10% of time)."""
+    AABB slab ~15-50), ignoring shading (cbox: shade is <10% of time)."""
     rays_per_bounce = 2  # closest-hit + shadow ray
     bounces = max_depth
-    T = scene.num_tris
-    if scene.arrays.bvh is None:
-        per_ray = T * 60.0
+    a = scene.arrays
+    if a.unified is not None or a.bvh is not None:
+        # pair-sweep tier (accel/pairs.py, the TPU default): per BLOCK of 512
+        # sorted rays, ~2 rounds of [K] conservative interval cull (~150
+        # flops) + per-ray window slab (W*30) + maxc swept clusters of 128
+        # tris each, tested by every lane
+        from akari_render_tpu.accel.pairs import BLOCK, MAXC, WINDOW_MULT
+
+        K = (a.unified.num_clusters if a.unified is not None
+             else a.bvh["clusters"].num_clusters)
+        rounds = 2.0
+        per_ray = rounds * (
+            K * 150.0 / BLOCK + MAXC * WINDOW_MULT * 30.0 + MAXC * 128 * 60.0
+        )
     else:
-        K = scene.arrays.bvh["clusters"].num_clusters
-        # measured typical: ~2 select rounds -> 2 cull sweeps + 16 cluster tests
-        per_ray = 2 * K * 15.0 + 16 * 128 * 60.0
-    ia = scene.arrays.instanced
-    if ia is not None:
-        I = int(ia.ibmin.shape[0])
-        Kl = int(ia.clusters.cbmin.shape[0])
-        # instance cull + ~4 instances visited, each ~1 cull sweep + 8 tests
-        per_ray += I * 15.0 + 4 * (Kl * 15.0 + 8 * 128 * 60.0)
+        per_ray = scene.num_tris * 60.0  # brute/pallas tiers
     return per_ray * rays_per_bounce * bounces
 
 
