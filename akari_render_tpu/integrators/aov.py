@@ -25,10 +25,19 @@ from ..scene import Scene
 
 def _aov_pass_fn(scene: Scene, width, height, remap: bool):
     npix = width * height
+    from .pt import max_wavefront_lanes
 
-    def one_sample(sc: Scene, sample_idx, films):
+    pb = min(npix, max_wavefront_lanes(scene))
+    n_blocks = -(-npix // pb)
+
+    def one_sample(sc: Scene, sample_idx, films, p0):
         a = sc.arrays
-        pix = jnp.arange(npix, dtype=jnp.uint32)
+        # big frames trace pb-lane pixel blocks (one per dispatch, like pt):
+        # out-of-range lanes clamp and fall out via add_samples' drop mode
+        pix = jnp.minimum(
+            p0 + jnp.arange(pb, dtype=jnp.uint32), jnp.uint32(npix - 1)
+        )
+        mask_lane = (p0 + jnp.arange(pb, dtype=jnp.uint32)) < npix
         sampler = IndependentSampler(Pcg32.new_seq(U64(sample_idx.astype(jnp.uint32), pix)))
         sampler, u_film = sampler.next_2d()
         p_film = (
@@ -39,7 +48,7 @@ def _aov_pass_fn(scene: Scene, width, height, remap: bool):
             + (u_film - 0.5)
         )
         ray_o, ray_d = generate_rays(sc.camera, p_film)
-        n = npix
+        n = pb
         hit = sc.intersect(ray_o, ray_d, jnp.zeros(n), jnp.full(n, 1e20))
         si = sc.surface_interaction(jnp.maximum(hit.tri_id, 0), hit.bary)
         wo = -ray_d
@@ -59,8 +68,8 @@ def _aov_pass_fn(scene: Scene, width, height, remap: bool):
         def rm(v):
             return v * 0.5 + 0.5 if remap else v
 
-        valid = hit.valid
-        w = jnp.ones(n)
+        valid = hit.valid & mask_lane
+        w = jnp.where(mask_lane, 1.0, 0.0)
         outs = {
             "albedo": albedo,
             "ns": rm(ns_out),
@@ -76,10 +85,17 @@ def _aov_pass_fn(scene: Scene, width, height, remap: bool):
             new_films[k] = add_samples(film, p_film, val, w, width, height)
         return new_films
 
-    def one_pass(arrays, films, pass_idx):
-        return one_sample(replace(scene, arrays=arrays), pass_idx, films)
+    def one_pass_blk(arrays, films, pass_idx, p0):
+        return one_sample(replace(scene, arrays=arrays), pass_idx, films, p0)
 
-    return jax.jit(one_pass)
+    jitted = jax.jit(one_pass_blk)
+
+    def run_pass(arrays, films, pass_idx):
+        for b in range(n_blocks):
+            films = jitted(arrays, films, pass_idx, jnp.uint32(b * pb))
+        return films
+
+    return run_pass
 
 
 AOV_NAMES = ["albedo", "ns", "ng", "tangent", "bitangent", "roughness", "depth"]

@@ -288,8 +288,11 @@ def trace_paths(
     def bounce_body(depth, st):
         """One full bounce: intersect, Le, NEE, BSDF sample, RR, next ray."""
         depth = jnp.asarray(depth, jnp.int32)
+        # dead lanes trace with tmax = -1: a pure perf hint (they were already
+        # masked out) that lets the pair-sweep's per-block horizon skip them
         hit = scene.intersect_alpha(
-            st["ray_o"], st["ray_d"], jnp.zeros((n,)), jnp.full((n,), RAY_TMAX),
+            st["ray_o"], st["ray_d"], jnp.zeros((n,)),
+            jnp.where(st["active"], RAY_TMAX, -1.0),
             exclude0=st["exclude"],
         )
         lane_hit = st["active"] & hit.valid
@@ -356,7 +359,8 @@ def trace_paths(
         # --- shadow ray + add direct (pt.rs:504-513) ---
         if ls is not None:
             occluded = scene.occlude_alpha(
-                ls.shadow_ro, ls.wi, jnp.zeros((n,)), ls.shadow_dist,
+                ls.shadow_ro, ls.wi, jnp.zeros((n,)),
+                jnp.where(light_valid, ls.shadow_dist, -1.0),
                 exclude0=si["tri_id"].astype(jnp.int32), exclude1=ls.dest_tri,
             )
             direct_ok = light_valid & ~occluded
@@ -395,7 +399,8 @@ def trace_paths(
         """Last iteration: intersect + surface-light only (pt.rs depth==max_depth)."""
         depth = jnp.asarray(settings.max_depth, jnp.int32)
         hit = scene.intersect_alpha(
-            st["ray_o"], st["ray_d"], jnp.zeros((n,)), jnp.full((n,), RAY_TMAX),
+            st["ray_o"], st["ray_d"], jnp.zeros((n,)),
+            jnp.where(st["active"], RAY_TMAX, -1.0),
             exclude0=st["exclude"],
         )
         lane_hit = st["active"] & hit.valid
@@ -409,7 +414,20 @@ def trace_paths(
         for depth in range(settings.max_depth):
             state = bounce_body(depth, state)
     else:
-        state = jax.lax.fori_loop(0, settings.max_depth, bounce_body, state)
+        # while_loop instead of fori: whole bounces are skipped once every
+        # lane has died (escape/RR) — on deep configs (reference max_depth 12)
+        # the tail bounces usually have no live lanes
+        def bounce_cond(c):
+            depth, st = c
+            return (depth < settings.max_depth) & jnp.any(st["active"])
+
+        def bounce_step(c):
+            depth, st = c
+            return depth + 1, bounce_body(depth, st)
+
+        _, state = jax.lax.while_loop(
+            bounce_cond, bounce_step, (jnp.int32(0), state)
+        )
     state = final_emission(state)
 
     radiance = state["radiance"]

@@ -75,6 +75,9 @@ class Scene:
     # per-kind "can this kind's alpha be < 1" verdict from the static
     # bytecode scan (None = unknown, evaluate all kinds)
     kind_alpha: list[bool] | None = None
+    # per-kind [kind_width, 2] host min/max of every constant column over
+    # the kind's materials — powers trace-time dead-lobe elimination
+    kind_const_ranges: list | None = None
 
     # max triangle count for the one-hot-matmul attribute fetch; beyond this
     # the [N, T] one-hot outweighs gathers (BVH scenes use the gather path)
@@ -504,6 +507,11 @@ class Scene:
             ng=si["ng"],
             frame=si["frame"],
             textures=self.atlas,
+            const_ranges=(
+                self.kind_const_ranges[kind_idx]
+                if self.kind_const_ranges is not None
+                else None
+            ),
         )
 
     def dispatch_closures(self, si):
@@ -784,6 +792,10 @@ def load_scene(path: str, width: int | None = None, height: int | None = None) -
         num_tris=num_tris,
         has_alpha=has_alpha,
         kind_alpha=[v != "no" for v in verdicts],
+        kind_const_ranges=[
+            np.stack([m.min(axis=0), m.max(axis=0)], axis=-1)
+            for m in (np.asarray(pm) for pm in driver.param_matrices())
+        ],
     )
 
     # ---- emissive detection + per-triangle power (load.rs:312-414) ----

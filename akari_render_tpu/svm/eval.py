@@ -59,6 +59,10 @@ class EvalContext(NamedTuple):
     frame: tuple  # (t, b, n) world shading frame
     textures: object | None = None  # texture atlas (svm/texture.py), optional
     rgb_colorspace: str = "srgb"
+    # static (host numpy) [kind_width, 2] min/max of each constant column
+    # over the kind's materials — lets closures eliminate statically-zero
+    # lobes at trace time (never crosses a jit boundary)
+    const_ranges: object = None
 
 
 def _gather(ctx: EvalContext, const_off: int, count: int = 1):
@@ -74,6 +78,20 @@ class _Evaluator:
         self.ctx = ctx
         self.mode = mode  # 'surface' | 'alpha'
         self.values: list = [None] * len(kind.nodes)
+
+    def static_const(self, i: int):
+        """Trace-time constant resolution: the value of node i if it is a
+        plain constant identical across every material of this kind, else
+        None. Powers dead-lobe elimination in the principled closure."""
+        r = self.ctx.const_ranges
+        if r is None:
+            return None
+        node = self.kind.nodes[i]
+        if node[0] == "float":
+            lo, hi = float(r[node[1], 0]), float(r[node[1], 1])
+            if lo == hi:
+                return lo
+        return None
 
     # --- typed accessors with auto-convert (eval.rs:297-350) ---
     def _get(self, i: int):
@@ -338,7 +356,20 @@ class _Evaluator:
         ctx = self.ctx
         color, _alpha = self.color_alpha(inp["base_color"])
         emission = self.color(inp["emission_color"]) * self.f(inp["emission_strength"])[..., None]
+        # statically-zero lobes (constant 0 across every material of the
+        # kind) are eliminated at trace time — bit-exact, because a
+        # weighted choice with probability 0 leaves the random unchanged
+        static_zero = frozenset(
+            name
+            for name, key in (
+                ("metallic", "metallic"),
+                ("transmission", "transmission_weight"),
+                ("coat", "coat_weight"),
+            )
+            if self.static_const(inp[key]) == 0.0
+        )
         bsdf = build_principled_surface(
+            static_zero=static_zero,
             color=color,
             emission=emission,
             metallic=self.f(inp["metallic"]),
@@ -360,7 +391,8 @@ class _Evaluator:
 def build_principled_surface(*, color, emission, metallic, roughness, eta,
                              transmission, specular_ior_level, specular_tint,
                              coat_weight, coat_roughness, coat_ior, coat_tint,
-                             fused: bool | None = None) -> Surface:
+                             fused: bool | None = None,
+                             static_zero: frozenset = frozenset()) -> Surface:
     """Principled BSDF lobe construction (principled.rs:11-199), pre-normal-map.
 
     Two equivalent implementations (A/B tested exactly in test_bsdf.py):
@@ -394,6 +426,7 @@ def build_principled_surface(*, color, emission, metallic, roughness, eta,
         from .principled_fused import FusedPrincipled
 
         return FusedPrincipled(
+            static_zero=static_zero,
             base_color=color,
             metallic=metallic,
             roughness=roughness,

@@ -381,3 +381,66 @@ class TestPlasticChi2:
         assert 0.55 < fdr < 0.65
         kd = 0.9
         assert kd / (1 - kd * fdr) > kd
+
+
+class TestStaticLobeElimination:
+    """FusedPrincipled with static_zero flags must be BIT-exact vs the
+    unspecialized closure when those parameters are in fact zero (the
+    weighted-choice remap with probability 0 is the identity)."""
+
+    def _make(self, static_zero):
+        import jax.numpy as jnp
+
+        from akari_render_tpu.svm.eval import build_principled_surface
+
+        n = 512
+        rng = np.random.default_rng(5)
+        z = jnp.zeros(n)
+        return build_principled_surface(
+            color=jnp.asarray(rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32)),
+            emission=jnp.zeros((n, 3)),
+            metallic=z,
+            roughness=jnp.asarray(rng.uniform(0.1, 0.9, n).astype(np.float32)),
+            eta=jnp.full(n, 1.45),
+            transmission=z,
+            specular_ior_level=jnp.full(n, 0.5),
+            specular_tint=jnp.ones((n, 3)),
+            coat_weight=z,
+            coat_roughness=jnp.full(n, 0.1),
+            coat_ior=jnp.full(n, 1.5),
+            coat_tint=jnp.ones((n, 3)),
+            fused=True,
+            static_zero=static_zero,
+        )
+
+    def test_bit_exact(self):
+        import jax.numpy as jnp
+
+        full = self._make(frozenset())
+        spec = self._make(frozenset({"metallic", "transmission", "coat"}))
+        rng = np.random.default_rng(9)
+        n = 512
+
+        def dirs():
+            v = rng.normal(size=(n, 3)).astype(np.float32)
+            v /= np.linalg.norm(v, axis=-1, keepdims=True)
+            v[:, 2] = np.abs(v[:, 2]) + 1e-3
+            return jnp.asarray(v / np.linalg.norm(v, axis=-1, keepdims=True))
+
+        wo, wi = dirs(), dirs()
+        u_sel = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+        u_smp = jnp.asarray(rng.uniform(0, 1, (n, 2)).astype(np.float32))
+        f1, p1 = full.evaluate(wo, wi)
+        f2, p2 = spec.evaluate(wo, wi)
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        w1, v1 = full.sample_wi(wo, u_sel, u_smp)
+        w2, v2 = spec.sample_wi(wo, u_sel, u_smp)
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(
+            np.asarray(full.albedo(wo)), np.asarray(spec.albedo(wo))
+        )
+        np.testing.assert_array_equal(
+            np.asarray(full.roughness(wo, u_sel)), np.asarray(spec.roughness(wo, u_sel))
+        )
