@@ -1,14 +1,16 @@
-"""Low-discrepancy sampler: padded Owen-scrambled Sobol (0,2) pairs.
+"""Low-discrepancy samplers: Owen-Sobol (tableless) and pmj02 (table-driven).
 
-Role-equivalent of the reference's Pmj02BnSampler (sampler/mod.rs:329-701):
+Role-equivalents of the reference's Pmj02BnSampler (sampler/mod.rs:329-701):
 per-pixel stratified (0,2) sequences with per-dimension decorrelation. The
 reference's pmj02bn/bluenoise table blobs are git-LFS-missing from the repo
-(/root/reference/.MISSING_LARGE_BLOBS), so instead of regenerating tables we
-use the tableless construction with the same (0,2)-net property: dimension
-pairs are Owen-scrambled Sobol points, padded with a per-(pixel, pair) hash
-(Burley, "Practical Hash-based Owen Scrambling", JCGT 2020).
+(/root/reference/.MISSING_LARGE_BLOBS); two substitutes are provided:
 
-All ops are uint32 bit math — pure VPU work, no tables, no gathers.
+- SobolSampler ("sobol"/"lds"): tableless Owen-scrambled Sobol (0,2) pairs
+  padded with a per-(pixel, pair) hash (Burley, "Practical Hash-based Owen
+  Scrambling", JCGT 2020) — pure uint32 VPU bit math, no gathers.
+- Pmj02Sampler ("pmj02bn"): REGENERATED pmj02 tables (core/pmj02.py,
+  exhaustively (0,2)-verified) with per-pixel XOR digit scrambling —
+  matches the reference sampler's table-driven design.
 """
 from __future__ import annotations
 
@@ -157,13 +159,99 @@ class SobolSampler(NamedTuple):
         return s, jnp.stack([a, b, c], -1)
 
 
+_PMJ02_CACHE = {}
+
+
+def _pmj02_tables_device():
+    """(numpy bits [S*N, 2] uint32, S, N) — numpy in the cache, converted per
+    trace (a cached traced constant would leak across jit traces)."""
+    if "t" not in _PMJ02_CACHE:
+        from .pmj02 import get_pmj02_tables
+
+        tabs = get_pmj02_tables()  # [S, N, 2]
+        s, n, _ = tabs.shape
+        # 24-bit fixed point so per-pixel XOR scrambling is exact bit math
+        bits = np.minimum((tabs.reshape(s * n, 2) * (1 << 24)).astype(np.uint32),
+                          (1 << 24) - 1)
+        _PMJ02_CACHE["t"] = (bits, s, n)
+    return _PMJ02_CACHE["t"]
+
+
+class Pmj02Sampler(NamedTuple):
+    """Table-driven pmj02 sampler (the reference's Pmj02BnSampler,
+    sampler/mod.rs:329-701, with regenerated tables — core/pmj02.py).
+
+    Dimension pair p of pixel q reads set hash(p) % S, point `sample_index`,
+    XOR-scrambled by hash(q, p, epoch) — a per-pixel random digit scramble,
+    which preserves every (0,2) elementary-interval property exactly while
+    decorrelating pixels (the reference uses blue-noise textures here; see
+    the deviation note in core/pmj02.py)."""
+
+    tables: jnp.ndarray  # [S*N, 2] uint32 24-bit fixed point
+    pixel_hash: jnp.ndarray  # [L]
+    sample_index: jnp.ndarray  # [L] uint32
+    dim: jnp.ndarray  # [L] int32
+    cache: jnp.ndarray  # [L] stashed second component
+    has_cache: jnp.ndarray  # [L] bool
+
+    @staticmethod
+    def new(pixel_ids, sample_index, seed: int = 0) -> "Pmj02Sampler":
+        tabs, _, _ = _pmj02_tables_device()
+        pixel_ids = jnp.asarray(pixel_ids, _U32)
+        n = pixel_ids.shape
+        if jnp.ndim(sample_index) == 0:
+            sample_index = jnp.broadcast_to(jnp.asarray(sample_index, _U32), n)
+        return Pmj02Sampler(
+            tables=jnp.asarray(tabs),
+            pixel_hash=_hash_combine(pixel_ids, _U32(seed)),
+            sample_index=jnp.asarray(sample_index, _U32),
+            dim=jnp.zeros(n, jnp.int32),
+            cache=jnp.zeros(n, jnp.float32),
+            has_cache=jnp.zeros(n, bool),
+        )
+
+    def next_1d(self):
+        _, s, n = _pmj02_tables_device()
+        pair = (self.dim // 2).astype(_U32)
+        set_ix = _hash(pair) % _U32(s)
+        idx = self.sample_index % _U32(n)
+        epoch = self.sample_index // _U32(n)
+        row = self.tables[set_ix * _U32(n) + idx]  # [L, 2]
+        scr = _hash_combine(self.pixel_hash, _hash_combine(pair, epoch))
+        mask = _U32((1 << 24) - 1)
+        to_f = lambda b: b.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+        u0 = to_f(row[..., 0] ^ (scr & mask))
+        u1 = to_f(row[..., 1] ^ ((scr >> 8) & mask))
+        u = jnp.where(self.has_cache, self.cache, u0)
+        new_cache = jnp.where(self.has_cache, self.cache, u1)
+        return (
+            self._replace(
+                dim=self.dim + 1, cache=new_cache, has_cache=~self.has_cache
+            ),
+            u,
+        )
+
+    def next_2d(self):
+        s, a = self.next_1d()
+        s, b = s.next_1d()
+        return s, jnp.stack([a, b], -1)
+
+    def next_3d(self):
+        s, a = self.next_1d()
+        s, b = s.next_1d()
+        s, c = s.next_1d()
+        return s, jnp.stack([a, b, c], -1)
+
+
 def make_sampler(config: dict, pixel_ids, sample_index, seed_extra: int = 0):
     """Sampler factory from the reference's sampler JSON
     ({"type": "independent"|"pmj02bn", "seed": n} — SamplerConfig,
     sampler/mod.rs:282-295)."""
     t = (config or {}).get("type", "independent")
     seed = int((config or {}).get("seed", 0)) ^ seed_extra
-    if t in ("pmj02bn", "sobol", "lds"):
+    if t == "pmj02bn":
+        return Pmj02Sampler.new(pixel_ids, sample_index, seed=seed)
+    if t in ("sobol", "lds"):
         return SobolSampler.new(pixel_ids, sample_index, seed=seed)
     from .pcg import Pcg32, U64
     from .samplers import IndependentSampler
