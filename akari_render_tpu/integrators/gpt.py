@@ -102,27 +102,28 @@ def gpt_sample_films(scene: Scene, config: GPTConfig, filt, settings, D: int,
     primal_sq = add_samples(primal_sq, p_film, base * base, w1, width, height)
 
     stride = config.stride
-    for off in OFFSETS:  # offsets are static at trace time
-        positive = int(off[0] + off[1]) > 0
-        is_x = off[0] != 0
-        off_j = jnp.asarray(off * stride)
-        spix = _reflect_offset(pix, off_j, width, height)
-        if shift_mode == "reconnect":
-            from .gpt_reconnect import trace_shift_reconnect
-            from .mcmc import ReplaySampler
+    if shift_mode == "reconnect":
+        # ONE shift-trace instance in the compiled graph, lax.map-ed over the
+        # four offsets (the unrolled form held four copies of the full
+        # traversal subgraph — minutes of XLA compile on cluster-tier
+        # scenes). Each shift clones the sampler from the same rng state,
+        # matching the reference (gpt.rs:141-351 clones per shift).
+        from .gpt_reconnect import trace_shift_reconnect
+        from .mcmc import ReplaySampler
 
+        def one_shift(off_j):
+            spix = _reflect_offset(pix, off_j, width, height)
             sampler = ReplaySampler(pss, jnp.zeros(chunk, jnp.int32), rng)
             sampler, u_film = sampler.next_2d()
             soff, sfw = filt.sample(u_film)
             sp_film = spix.astype(jnp.float32) + 0.5 + soff
             s_o, s_d = generate_rays(sc.camera, sp_film)
-            shifted, jac, success, sampler = trace_shift_reconnect(
+            shifted, jac, success, _ = trace_shift_reconnect(
                 sc, settings, s_o, s_d, sampler, rec,
                 min_dist=config.shift_mapping_min_dist,
                 min_rough=config.shift_mapping_min_roughness,
             )
             shifted = shifted * sfw[..., None]
-            rng = sampler.rng
             # the reference's pair weighting (gpt.rs:318-331): on success
             # grad = (shifted*J - base)/(1+J); on failure the shifted path
             # contributes nothing and the base keeps full weight — the
@@ -132,14 +133,28 @@ def gpt_sample_films(scene: Scene, config: GPTConfig, filt, settings, D: int,
                 (shifted * jac[..., None] - base) / (1.0 + jac)[..., None],
                 -base,
             )
-        else:
+            return g, spix
+
+        gs, spixs = jax.lax.map(
+            one_shift, jnp.asarray(OFFSETS * stride)
+        )
+    else:
+        gs_l, spixs_l = [], []
+        for off in OFFSETS:
+            spix = _reflect_offset(pix, jnp.asarray(off * stride), width, height)
             _, shifted, rng = _eval_from_pixel(sc, settings, filt, spix, pss, rng)
             # PSS replay shift has jacobian 1 -> symmetric half weights
-            g = (shifted - base) * 0.5
+            gs_l.append((shifted - base) * 0.5)
+            spixs_l.append(spix)
+        gs, spixs = jnp.stack(gs_l), jnp.stack(spixs_l)
+
+    for k, off in enumerate(OFFSETS):  # static film routing
+        positive = int(off[0] + off[1]) > 0
+        is_x = off[0] != 0
         # forward differences: G[p] estimates I[p + e] - I[p], stored at the
         # lower-index pixel of the pair
-        grad = g if positive else -g
-        gpix = pix if positive else spix
+        grad = gs[k] if positive else -gs[k]
+        gpix = pix if positive else spixs[k]
         gp = gpix.astype(jnp.float32) + 0.5
         w1g = jnp.ones(chunk)
         target = gx if is_x else gy

@@ -30,8 +30,10 @@ crates/akari_integrator/src/pt.rs:328-900 + gpt.rs:206-349. Semantics:
   and the reconnection jacobian's pdf ratios (pdf_y1/pdf_x1 * pdf_y2/pdf_x2,
   pt.rs:683-694) supply the endpoint density correction.
 
-Everything is lane-parallel and unrolled (static max_depth); masks replace
-the reference's device control flow.
+Everything is lane-parallel; masks replace the reference's device control
+flow, and both traces run as lax.while_loop over bounces (one bounce-body
+instance in the compiled graph — the unrolled form compiled minutes per
+configuration on cluster-tier scenes) with all-lanes-dead early exit.
 """
 from __future__ import annotations
 
@@ -246,15 +248,32 @@ def _init_state(n, record_mode):
 
 def trace_base_record(scene, settings: PTSettings, ray_o, ray_d, sampler,
                       min_dist=0.03, min_rough=0.2):
-    """Base path; returns (radiance, ReconnectionRecord, sampler)."""
+    """Base path; returns (radiance, ReconnectionRecord, sampler).
+
+    lax.while_loop rather than a Python unroll: ONE bounce-body instance in
+    the compiled graph instead of max_depth copies (each carrying its own
+    full traversal subgraph — the unrolled form took minutes of XLA compile
+    per configuration on cluster-tier scenes), with the same all-lanes-dead
+    early exit as trace_paths."""
+    import jax
+
     n = ray_o.shape[0]
     st = _init_state(n, record_mode=True)
     st["ray_o"], st["ray_d"] = ray_o, ray_d
-    for depth in range(settings.max_depth):
+
+    def cond(c):
+        depth, st, _ = c
+        return (depth < settings.max_depth) & jnp.any(st["active"])
+
+    def body(c):
+        depth, st, sampler = c
         st, sampler, _ = _bounce(
             scene, settings, st, depth, sampler, True,
             min_dist=min_dist, min_rough=min_rough,
         )
+        return depth + 1, st, sampler
+
+    _, st, sampler = jax.lax.while_loop(cond, body, (jnp.int32(0), st, sampler))
     rec = ReconnectionRecord(
         valid=st["rec_valid"], depth=st["rec_depth"], tri=st["rec_tri"],
         bary=st["rec_bary"], prev_pdf=st["rec_prev_pdf"], wi=st["rec_wi"],
@@ -278,6 +297,8 @@ def trace_shift_reconnect(scene, settings: PTSettings, ray_o, ray_d, sampler,
     the gradient applies radiance * J. `radiance` has NO jacobian applied
     (the pairing in gpt.py applies it, gpt.rs:318-331); success=False lanes
     contribute nothing to the pair (the base keeps weight 1)."""
+    import jax
+
     n = ray_o.shape[0]
     st = _init_state(n, record_mode=False)
     st["ray_o"], st["ray_d"] = ray_o, ray_d
@@ -285,7 +306,12 @@ def trace_shift_reconnect(scene, settings: PTSettings, ray_o, ray_d, sampler,
     success = jnp.zeros((n,), bool)
     v_si = scene.surface_interaction(jnp.maximum(rec.tri, 0), rec.bary)
 
-    for depth in range(settings.max_depth):
+    def shift_cond(c):
+        depth, st, _, _, _ = c
+        return (depth < settings.max_depth) & jnp.any(st["active"])
+
+    def shift_body(c):
+        depth, st, sampler, jacobian, success = c
         st, sampler, pre = _bounce(
             scene, settings, st, depth, sampler, False,
             min_dist=min_dist, min_rough=min_rough,
@@ -385,5 +411,9 @@ def trace_shift_reconnect(scene, settings: PTSettings, ray_o, ray_d, sampler,
         st["connected"] = st["connected"] | ok
         # connecting lanes (even failed ones at their index) stop replaying
         st["active"] = st["active"] & ~do_connect
+        return depth + 1, st, sampler, jacobian, success
 
+    _, st, sampler, jacobian, success = jax.lax.while_loop(
+        shift_cond, shift_body, (jnp.int32(0), st, sampler, jacobian, success)
+    )
     return st["radiance"], jacobian, success, sampler
