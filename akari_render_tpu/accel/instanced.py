@@ -57,6 +57,10 @@ class InstancedArrays(NamedTuple):
     mat_slot: jnp.ndarray  # [Tl] local material slot index
     slot_mat: jnp.ndarray  # [I, S] slot -> global material id
     slot_kind: jnp.ndarray  # [I, S] slot -> shader kind
+    # packed fetch matrix [Tl, 34]: v0|e1|e2|ns(9)|uv(6)|tangent(9)|mat_slot —
+    # ONE contiguous row gather per lane at interaction time instead of 7
+    # scattered per-attribute gathers
+    attr_local: jnp.ndarray | None = None
 
 
 def _affine_rows(mat: np.ndarray) -> np.ndarray:
@@ -188,6 +192,20 @@ def build_instanced(meshes: list[dict], instances: list[dict], tri_base0: int):
             mat_slot=jnp.asarray(np.concatenate(cat["mat_slot"]).astype(np.int32)),
             slot_mat=jnp.asarray(slot_mat),
             slot_kind=jnp.asarray(slot_kind),
+            attr_local=jnp.asarray(
+                np.concatenate(
+                    [
+                        np.concatenate(cat["v0"]).astype(np.float32),
+                        np.concatenate(cat["e1"]).astype(np.float32),
+                        np.concatenate(cat["e2"]).astype(np.float32),
+                        np.concatenate(cat["ns"]).astype(np.float32).reshape(-1, 9),
+                        np.concatenate(cat["uv"]).astype(np.float32).reshape(-1, 6),
+                        np.concatenate(cat["tangent"]).astype(np.float32).reshape(-1, 9),
+                        np.concatenate(cat["mat_slot"]).astype(np.float32)[:, None],
+                    ],
+                    axis=1,
+                )
+            ),
         ),
         vbase,
     )

@@ -369,31 +369,22 @@ class Scene:
             # bf16 passes, which quantizes vertex positions (visible as
             # terracing + corner seams). Force full f32 precision.
             attr = jnp.matmul(oh, a.attr, precision=jax.lax.Precision.HIGHEST)
-            v0 = attr[..., 0:3]
-            e1 = attr[..., 3:6]
-            e2 = attr[..., 6:9]
-            ng = attr[..., 9:12]
-            area = attr[..., 12]
-            ns_c = attr[..., 13:22].reshape(attr.shape[:-1] + (3, 3))
-            uv_c = attr[..., 22:28].reshape(attr.shape[:-1] + (3, 2))
-            tan_c = attr[..., 28:37].reshape(attr.shape[:-1] + (3, 3))
-            kind = attr[..., 37].astype(jnp.int32)
-            mat = attr[..., 38].astype(jnp.int32)
-            light_id = attr[..., 39].astype(jnp.int32)
-            prim_pdf = attr[..., 40]
         else:
-            v0 = a.v0[t]
-            e1 = a.e1[t]
-            e2 = a.e2[t]
-            ng = a.ng[t]
-            area = a.area[t]
-            ns_c = a.ns[t]
-            uv_c = a.uv[t]
-            tan_c = a.tangent[t]
-            kind = a.shader_kind[t]
-            mat = a.tri_mat[t]
-            light_id = a.lights.tri_light_id[t]
-            prim_pdf = a.lights.tri_prim_pdf[t]
+            # ONE packed [N, 41] row gather (contiguous 164 B per lane)
+            # instead of 12 scattered per-attribute gathers
+            attr = a.attr[t]
+        v0 = attr[..., 0:3]
+        e1 = attr[..., 3:6]
+        e2 = attr[..., 6:9]
+        ng = attr[..., 9:12]
+        area = attr[..., 12]
+        ns_c = attr[..., 13:22].reshape(attr.shape[:-1] + (3, 3))
+        uv_c = attr[..., 22:28].reshape(attr.shape[:-1] + (3, 2))
+        tan_c = attr[..., 28:37].reshape(attr.shape[:-1] + (3, 3))
+        kind = attr[..., 37].astype(jnp.int32)
+        mat = attr[..., 38].astype(jnp.int32)
+        light_id = attr[..., 39].astype(jnp.int32)
+        prim_pdf = attr[..., 40]
         return self._finish_si(
             t, b0, b1, v0, e1, e2, ng, area, ns_c, uv_c, tan_c,
             kind, mat, light_id, prim_pdf,
@@ -415,30 +406,33 @@ class Scene:
         lt = jnp.clip(t - ia.tri_base[i] + ia.mesh_tri_start[i], 0, tl_max)
         m = ia.m[i]
         mt = ia.minv_t[i]
-        v0 = apply_affine(m, ia.v0[lt])
-        e1 = apply_linear(m, ia.e1[lt])
-        e2 = apply_linear(m, ia.e2[lt])
-        ngl = jnp.cross(ia.e1[lt], ia.e2[lt])
+        # ONE packed row gather (see InstancedArrays.attr_local layout)
+        al = ia.attr_local[lt]
+        l_v0, l_e1, l_e2 = al[..., 0:3], al[..., 3:6], al[..., 6:9]
+        nsl = al[..., 9:18].reshape(al.shape[:-1] + (3, 3))
+        uv_c = al[..., 18:24].reshape(al.shape[:-1] + (3, 2))
+        tanl = al[..., 24:33].reshape(al.shape[:-1] + (3, 3))
+        v0 = apply_affine(m, l_v0)
+        e1 = apply_linear(m, l_e1)
+        e2 = apply_linear(m, l_e2)
+        ngl = jnp.cross(l_e1, l_e2)
         ng = apply_3x3(mt, ngl)
         ng = ng / jnp.maximum(
             jnp.sqrt(jnp.sum(ng * ng, -1, keepdims=True)), 1e-30
         )
         area = 0.5 * jnp.sqrt(jnp.sum(jnp.cross(e1, e2) ** 2, -1))
-        nsl = ia.ns[lt]  # [N, 3, 3]
         ns_c = jnp.stack(
             [apply_3x3(mt, nsl[:, c, :]) for c in range(3)], axis=-2
         )
         ns_c = ns_c / jnp.maximum(
             jnp.sqrt(jnp.sum(ns_c * ns_c, -1, keepdims=True)), 1e-30
         )
-        tanl = ia.tangent[lt]
         tan_c = jnp.stack(
             [apply_linear(m, tanl[:, c, :]) for c in range(3)], axis=-2
         )
         tlen = jnp.sqrt(jnp.sum(tan_c * tan_c, -1, keepdims=True))
         tan_c = jnp.where(tlen > 1e-12, tan_c / jnp.maximum(tlen, 1e-30), 0.0)
-        uv_c = ia.uv[lt]
-        slot = jnp.clip(ia.mat_slot[lt], 0, ia.slot_mat.shape[1] - 1)
+        slot = jnp.clip(al[..., 33].astype(jnp.int32), 0, ia.slot_mat.shape[1] - 1)
         mat = ia.slot_mat[i, slot]
         kind = ia.slot_kind[i, slot]
         light_id = jnp.full(t.shape, -1, jnp.int32)  # instanced = non-emissive
