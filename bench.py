@@ -125,13 +125,28 @@ def main():
         except Exception as e:  # classroom failure must not kill the metric
             detail["classroom"] = {"error": str(e)[:200]}
 
+    # vs_baseline: ratio against the round-1 recorded number (the reference
+    # publishes no benchmarks — BASELINE.md — so the baseline is our own
+    # first-round measurement; > 1.0 means faster than round 1)
+    rel = mpaths_s
+    try:
+        r01 = os.path.join(os.path.dirname(__file__), "BENCH_r01.json")
+        with open(r01) as f:
+            doc = json.load(f)
+        # driver wrapper format: the metric JSON line rides in "tail"
+        m = json.loads(doc["tail"][doc["tail"].index('{"metric"'):].splitlines()[0])
+        if m.get("value"):
+            rel = mpaths_s / float(m["value"])
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
                 "metric": ("cbox_pt_throughput" if "cbox" in scene_path else "scene_pt_throughput"),
                 "value": round(mpaths_s, 3),
                 "unit": "Mpaths/s",
-                "vs_baseline": round(mpaths_s, 3),
+                "vs_baseline": round(rel, 3),
                 "detail": detail,
             }
         )

@@ -103,6 +103,7 @@ def _wo(theta_deg):
     return np.array([np.sin(t), 0.0, np.cos(t)], np.float32)
 
 
+@pytest.mark.slow
 class TestDiffuseChi2:
     def test_normal_incidence(self):
         _run_chi2(DiffuseBsdf(jnp.ones(3) / np.pi), _wo(0.0))
@@ -111,6 +112,7 @@ class TestDiffuseChi2:
         _run_chi2(DiffuseBsdf(jnp.ones(3) / np.pi), _wo(75.0))
 
 
+@pytest.mark.slow
 class TestGGXReflectionChi2:
     @pytest.mark.parametrize("rough", [0.1, 0.3, 0.6, 1.0])
     def test_vndf(self, rough):
@@ -129,6 +131,7 @@ class TestGGXReflectionChi2:
         _run_chi2(bsdf, _wo(30.0))
 
 
+@pytest.mark.slow
 class TestGGXTransmissionChi2:
     @pytest.mark.parametrize("rough", [0.3, 0.8])
     def test_transmission(self, rough):
@@ -139,6 +142,7 @@ class TestGGXTransmissionChi2:
         _run_chi2(bsdf, _wo(30.0))
 
 
+@pytest.mark.slow
 class TestGlassChi2:
     def test_glass_mixture(self):
         eta = jnp.float32(1.5)
@@ -322,6 +326,7 @@ class TestFusedPrincipled:
             np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_t), rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow
 class TestPlasticChi2:
     """Tungsten plastic (svm/surface.py::PlasticBsdf, ref plastic.rs:38-178):
     sample_wi histogram must match the mixture pdf claimed by evaluate."""

@@ -10,6 +10,8 @@ import pytest
 from akari_render_tpu.config import AOVConfig, GPTConfig, MCMCConfig, PTConfig
 from akari_render_tpu.scene import load_scene
 
+pytestmark = pytest.mark.slow  # see pytest.ini: statistical / E2E tier
+
 # 16x16 cbox mean at max_depth 4 (cross-validated NEE vs BSDF-only <1%)
 REF_MEAN = np.array([0.165, 0.108, 0.031])
 

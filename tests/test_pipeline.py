@@ -6,6 +6,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # see pytest.ini: statistical / E2E tier
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 
