@@ -16,3 +16,29 @@ Layering (mirrors reference /root/reference SURVEY.md layer map):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (AKR_XLA_CACHE=0 disables).
+
+    Measured through the remote-TPU relay: a 13 s compile replays in 1.5 s
+    from a second process — renders/benches/tests of unchanged code skip
+    their (minutes-long, for the big integrator graphs) compiles entirely.
+    Keyed by HLO hash, so code changes safely miss."""
+    import os
+
+    if os.environ.get("AKR_XLA_CACHE", "1") == "0":
+        return
+    cache = os.environ.get("AKR_CACHE_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache"
+    )
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", os.path.join(cache, "xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass  # old jax without the knobs: run uncached
+
+
+_enable_compilation_cache()
