@@ -90,9 +90,10 @@ class GPTConfig:
     shift_mapping_min_dist: float = 0.03
     shift_mapping_min_roughness: float = 0.2
     stride: int = 1
-    # uniform-weight Jacobi preserves the mean and wins at low spp; the
-    # inverse-variance mode (reference default) is available but biased
-    # without the reference's per-iteration alpha schedule
+    # uniform-weight Jacobi (the reference's Reconstruction::Uniform; its
+    # DEFAULT is no reconstruction at all, gpt.rs:27-31). False selects the
+    # reference-exact Weighted mode: inverse-variance neighbor weights +
+    # the per-iteration primal-weight prefix schedule (gpt.rs:505-514).
     uniform_weights: bool = True
 
     @staticmethod

@@ -331,22 +331,31 @@ def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None,
 def screened_poisson(primal, gx, gy, variances=None, iters: int = 30):
     """Jacobi iterations of the screened-Poisson system (gpt.rs:487-612).
 
-    Solves argmin_R  a_p |R - P|^2 + |dx R - Gx|^2 + |dy R - Gy|^2 with
-    optional inverse-variance weighting; pure stencil ops, ideal for TPU.
+    Solves argmin_R  a_p |R - P|^2 + |dx R - Gx|^2 + |dy R - Gy|^2.
     Gx[i, j] estimates I[i, j+1] - I[i, j] (x = image column), Gy row-wise.
+
+    With `variances` this is the reference's Weighted mode EXACTLY
+    (gpt.rs:505-514, 540-601): the primal weight is 1/(var_p * prefix(it))
+    where prefix(it) = prod_{j<it} 1/(0.01 + 1 + 4*0.5^j) — it GROWS over
+    iterations, so early sweeps trust the gradients (smooth propagation) and
+    late sweeps anchor back to the primal (bias control) — and each
+    neighbor-constraint weight is 1/(var_p + var_grad) with the center
+    pixel's primal variance. (The common 1/spp factor of all variances
+    cancels in the normalized weights, so raw per-pixel sample variances
+    work directly.)
     """
     H, W, _ = primal.shape
-    if variances is None:
-        w_p = jnp.ones_like(primal)
-        w_gx = jnp.ones_like(primal)
-        w_gy = jnp.ones_like(primal)
-    else:
+    uniform = variances is None
+    if not uniform:
         var_p, var_gx, var_gy = variances
-        w_p = 1.0 / (var_p + 1e-6)
-        w_gx = 1.0 / (var_gx + 1e-6)
-        w_gy = 1.0 / (var_gy + 1e-6)
-        # normalize primal weight like the reference's alpha schedule
-        w_p = w_p * 0.2
+        eps = 0.01
+        scal = np.array(
+            [1.0 / (eps + 1.0 + 4.0 * 0.5**i) for i in range(max(iters, 1))],
+            np.float32,
+        )
+        prefix = jnp.asarray(
+            np.concatenate([[1.0], np.cumprod(scal)[:-1]]).astype(np.float32)
+        )
 
     def prev(a, axis):  # value of the previous pixel along axis (j-1 / i-1)
         return jnp.roll(a, 1, axis=axis)
@@ -354,17 +363,22 @@ def screened_poisson(primal, gx, gy, variances=None, iters: int = 30):
     def nxt(a, axis):  # value of the next pixel along axis (j+1 / i+1)
         return jnp.roll(a, -1, axis=axis)
 
-    def body(i, r):
+    def body(it, r):
         # neighbor estimates through each gradient constraint:
         # Gx[p] = I[p+x] - I[p]  =>  R[p] ~ R[p-x] + Gx[p-x]  and  R[p] ~ R[p+x] - Gx[p]
         est_xp = prev(r, 1) + prev(gx, 1)  # from left neighbor
         est_xm = nxt(r, 1) - gx  # from right neighbor
         est_yp = prev(r, 0) + prev(gy, 0)  # from row above
         est_ym = nxt(r, 0) - gy  # from row below
-        wxp = prev(w_gx, 1)
-        wxm = w_gx
-        wyp = prev(w_gy, 0)
-        wym = w_gy
+        if uniform:
+            one = jnp.ones_like(primal)
+            w_p, wxp, wxm, wyp, wym = one, one, one, one, one
+        else:
+            w_p = 1.0 / jnp.maximum(var_p * prefix[it], 1e-12)
+            wxp = 1.0 / (var_p + prev(var_gx, 1))
+            wxm = 1.0 / (var_p + var_gx)
+            wyp = 1.0 / (var_p + prev(var_gy, 0))
+            wym = 1.0 / (var_p + var_gy)
         # border: kill wrapped constraints
         col = jnp.arange(W)[None, :, None]
         row = jnp.arange(H)[:, None, None]

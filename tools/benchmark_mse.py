@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--spp", type=int, nargs="+", default=[4, 16, 64, 256])
     ap.add_argument("--out", default="bench_mse.json")
     ap.add_argument("--methods", nargs="+", default=["pt", "gpt", "mcmc"])
+    ap.add_argument(
+        "--gpt-min-roughness", type=float, default=0.2,
+        help="reconnection roughness criterion (raise to ~0.4 on glossy "
+             "scenes so enough vertices qualify)",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -62,9 +67,14 @@ def main():
                     scene,
                     PTConfig(spp=spp, max_depth=args.max_depth, spp_per_pass=min(spp, 64)),
                 )
-            elif method == "gpt":
+            elif method in ("gpt", "gpt_pss"):
                 img, _ = render_gpt(
-                    scene, GPTConfig(spp=max(1, spp // 5), max_depth=args.max_depth)
+                    scene,
+                    GPTConfig(
+                        spp=max(1, spp // 5), max_depth=args.max_depth,
+                        shift_mapping_min_roughness=args.gpt_min_roughness,
+                    ),
+                    shift_mode="pss" if method == "gpt_pss" else "reconnect",
                 )  # 5 paths per sample: equal ray budget
             elif method == "mcmc":
                 img, _ = render_mcmc(
