@@ -131,7 +131,9 @@ def _render_one(task, task_idx, n_tasks, scene, args, progress_cb):
             from .integrators.mcmc import render_mcmc
 
             img, stats = render_mcmc(
-                scene, task.method, task, progress_cb=progress_cb, session=session
+                scene, task.method, task, progress_cb=progress_cb, session=session,
+                checkpoint_path=args.checkpoint,
+                checkpoint_every=args.checkpoint_every,
             )
     elif task.method_type == "gpt":
         if mesh is not None:
@@ -145,7 +147,9 @@ def _render_one(task, task_idx, n_tasks, scene, args, progress_cb):
             from .integrators.gpt import render_gpt
 
             img, stats = render_gpt(
-                scene, task.method, task, progress_cb=progress_cb, session=session
+                scene, task.method, task, progress_cb=progress_cb, session=session,
+                checkpoint_path=args.checkpoint,
+                checkpoint_every=args.checkpoint_every,
             )
     elif task.method_type == "aov":
         from .integrators.aov import render_aov

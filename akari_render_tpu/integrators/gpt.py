@@ -169,7 +169,12 @@ def gpt_sample_films(scene: Scene, config: GPTConfig, filt, settings, D: int,
 
 
 def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None,
-               shift_mode: str = "reconnect", session=None):
+               shift_mode: str = "reconnect", session=None,
+               checkpoint_path=None, checkpoint_every: int = 0):
+    """checkpoint_path: resume from it when compatible and save all six
+    films + the next sample index there every `checkpoint_every` samples
+    (SURVEY.md §5 film + sampler state; sample chunking is pixel-keyed so
+    per-sample granularity loses no determinism)."""
     t0 = time.time()
     width, height = scene.camera.width, scene.camera.height
     npix = width * height
@@ -179,6 +184,8 @@ def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None,
     )
     D = sample_dimension(config.max_depth)
     seed = task.seed if task else 0
+    fp = [width, height, config.max_depth, seed, shift_mode,
+          bool(config.use_nee), float(config.shift_mapping_min_roughness)]
 
     def one_pass(arrays, films, sample_idx, pix_base, *, chunk):
         pix_lin = pix_base + jnp.arange(chunk, dtype=jnp.uint32)
@@ -200,6 +207,24 @@ def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None,
         return pass_fns[c]
 
     films = tuple(Film.new(width, height) for _ in range(6))
+    s0 = 0
+    resume_chunk = None
+    if checkpoint_path:
+        from ..checkpoint import load_checkpoint
+
+        ck = load_checkpoint(checkpoint_path)
+        if ck is not None and ck[1].get("kind") == "gpt" and ck[1].get("fp") == fp:
+            f0, meta, x = ck
+            s0 = int(meta["samples_done"])
+            resume_chunk = meta.get("chunk")
+            films = (f0,) + tuple(
+                Film(
+                    accum=jnp.asarray(x[f"f{i}_accum"]),
+                    splat=jnp.asarray(x[f"f{i}_splat"]),
+                    weight=jnp.asarray(x[f"f{i}_weight"]),
+                )
+                for i in range(1, 6)
+            )
 
     # Adaptive pixel chunking (same watchdog logic as render_pt): a GPT
     # sample costs ~6 full path traces per pixel, so large frames can blow
@@ -214,7 +239,11 @@ def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None,
         budget = 40.0
     chunk = npix
     base0 = 0
-    if (
+    if s0 > 0:
+        # the probe splats real samples into the films; re-running it on
+        # resume would double-count, so reuse the calibrated chunk size
+        chunk = int(resume_chunk) if resume_chunk else npix
+    elif (
         _on_tpu()
         and budget > 0
         and height > 64
@@ -249,7 +278,7 @@ def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None,
     from ..stats import profiler_from_env
 
     prof = profiler_from_env()
-    for s in range(config.spp):
+    for s in range(s0, config.spp):
         base = base0 if s == 0 else 0
         while base < npix:
             c = min(chunk, npix - base)
@@ -264,6 +293,21 @@ def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None,
                     scene.arrays, films, jnp.uint32(s), jnp.uint32(base)
                 )
             base += c
+        if checkpoint_path and checkpoint_every and (s + 1) % checkpoint_every == 0:
+            from ..checkpoint import save_checkpoint
+
+            jax.block_until_ready(films)
+            extra = {}
+            for i in range(1, 6):
+                extra[f"f{i}_accum"] = films[i].accum
+                extra[f"f{i}_splat"] = films[i].splat
+                extra[f"f{i}_weight"] = films[i].weight
+            save_checkpoint(
+                checkpoint_path, films[0],
+                {"kind": "gpt", "samples_done": s + 1, "fp": fp,
+                 "chunk": chunk if chunk < npix else None},
+                extra,
+            )
         if progress_cb:
             jax.block_until_ready(films)
             stats_series["time"].append(time.time() - t0)

@@ -236,8 +236,26 @@ def make_mutate_step(scene: Scene, settings, filt, config: MCMCConfig, D: int):
     return mutate_step
 
 
+def _mcmc_fingerprint(config: MCMCConfig, width, height, C, D, seed):
+    """Resume-compatibility key: everything that shapes the chain state or
+    the mutation stream EXCEPT the mutation budget (spp), so a checkpoint
+    taken at a lower spp can resume toward a higher one."""
+    return [
+        width, height, C, D, seed, config.n_bootstrap,
+        float(config.large_step_prob), bool(config.exponential_mutation),
+        None if config.image_mutation_size is None
+        else float(config.image_mutation_size),
+        config.direct_spp,
+    ]
+
+
 def render_mcmc(scene: Scene, config: MCMCConfig, task=None, progress_cb=None,
-                session=None):
+                session=None, checkpoint_path=None, checkpoint_every: int = 0):
+    """checkpoint_path: resume from it when compatible and save the film +
+    full chain state (PSS vectors, current-state cache, rng limbs, b
+    normalization counters) there every `checkpoint_every` dispatches —
+    SURVEY.md §5's "film + sampler/chain state" (the reference cannot resume
+    renders at all)."""
     t_start = time.time()
     width, height = scene.camera.width, scene.camera.height
     npixels = width * height
@@ -245,30 +263,57 @@ def render_mcmc(scene: Scene, config: MCMCConfig, task=None, progress_cb=None,
     settings, D = _mcmc_settings(config)
     C = config.n_chains
     seed = task.seed if task else 0
+    fp = _mcmc_fingerprint(config, width, height, C, D, seed)
 
-    pss, cur_p, cur_color, cur_f, b_init, nb = bootstrap_chains(
-        scene, settings, filt, config, D, C, seed
-    )
-    chain_rng = IndependentSampler.new(
-        jnp.arange(C, dtype=jnp.uint32), seed=seed ^ 0xC4A1
-    ).rng
+    done = 0
+    resumed = None
+    if checkpoint_path:
+        from ..checkpoint import load_checkpoint
+
+        ck = load_checkpoint(checkpoint_path)
+        if ck is not None and ck[1].get("kind") == "mcmc" and ck[1].get("fp") == fp:
+            resumed = ck
+
+    if resumed is not None:
+        film, meta, x = resumed
+        done = int(meta["done"])
+        b_init = float(meta["b_init"])
+        nb = int(meta["nb"])
+        pss = jnp.asarray(x["pss"])
+        cur_p = jnp.asarray(x["cur_p"])
+        cur_color = jnp.asarray(x["cur_color"])
+        cur_f = jnp.asarray(x["cur_f"])
+        chain_rng = Pcg32(
+            state=U64(jnp.asarray(x["rng_sh"]), jnp.asarray(x["rng_sl"])),
+            inc=U64(jnp.asarray(x["rng_ih"]), jnp.asarray(x["rng_il"])),
+        )
+        b = jnp.float32(float(x["b"]))
+        b_cnt = jnp.int32(int(x["b_cnt"]))
+        n_acc = jnp.int32(int(x["n_acc"]))
+        n_mut = jnp.int32(int(x["n_mut"]))
+    else:
+        pss, cur_p, cur_color, cur_f, b_init, nb = bootstrap_chains(
+            scene, settings, filt, config, D, C, seed
+        )
+        chain_rng = IndependentSampler.new(
+            jnp.arange(C, dtype=jnp.uint32), seed=seed ^ 0xC4A1
+        ).rng
+        film = Film.new(width, height)
+        b = jnp.float32(0.0)
+        b_cnt = jnp.int32(0)
+        n_acc = jnp.int32(0)
+        n_mut = jnp.int32(0)
     mutate_step = make_mutate_step(scene, settings, filt, config, D)
 
     @jax.jit
     def advance(carry, n_steps):
         return jax.lax.fori_loop(0, n_steps, mutate_step, carry)
 
-    film = Film.new(width, height)
-    b = jnp.float32(0.0)
-    b_cnt = jnp.int32(0)
-    n_acc = jnp.int32(0)
-    n_mut = jnp.int32(0)
     carry = (pss, cur_p, cur_color, cur_f, chain_rng, film, b, b_cnt, n_acc, n_mut)
 
     total_mutations = npixels * config.spp
     mutations_per_chain = max(1, total_mutations // C)
     per_dispatch = max(1, (npixels * config.spp_per_pass) // C)
-    done = 0
 
     # Adaptive dispatch sizing (same watchdog logic as render_pt): calibrate
     # per-mutation-step cost with 1-step probes, cap steps-per-dispatch so no
@@ -286,6 +331,7 @@ def render_mcmc(scene: Scene, config: MCMCConfig, task=None, progress_cb=None,
         and budget > 0
         and per_dispatch > 1
         and mutations_per_chain > 2
+        and done < mutations_per_chain
         and os.environ.get("AKR_ADAPTIVE_PASS", "1") != "0"
     ):
         carry = advance(carry, jnp.int32(1))  # compile + run
@@ -325,6 +371,23 @@ def render_mcmc(scene: Scene, config: MCMCConfig, task=None, progress_cb=None,
             carry = advance(carry, jnp.int32(step))
         done += step
         pass_no += 1
+        if checkpoint_path and checkpoint_every and pass_no % checkpoint_every == 0:
+            from ..checkpoint import save_checkpoint
+
+            jax.block_until_ready(carry)
+            (c_pss, c_p, c_col, c_f, c_rng, c_film, c_b, c_bc, c_na, c_nm) = carry
+            save_checkpoint(
+                checkpoint_path, c_film,
+                {"kind": "mcmc", "done": done, "b_init": b_init, "nb": nb,
+                 "fp": fp},
+                {
+                    "pss": c_pss, "cur_p": c_p, "cur_color": c_col,
+                    "cur_f": c_f,
+                    "rng_sh": c_rng.state.hi, "rng_sl": c_rng.state.lo,
+                    "rng_ih": c_rng.inc.hi, "rng_il": c_rng.inc.lo,
+                    "b": c_b, "b_cnt": c_bc, "n_acc": c_na, "n_mut": c_nm,
+                },
+            )
         last = done >= mutations_per_chain
         if progress_cb and (pass_no % 4 == 0 or last):
             jax.block_until_ready(carry)

@@ -134,6 +134,47 @@ class TestCheckpoint:
         img_resumed, _ = render_pt(s, cfg, checkpoint_path=ck, checkpoint_every=0)
         np.testing.assert_allclose(img_resumed, img_full, atol=1e-5)
 
+    def test_mcmc_resume_continues(self, cbox_path, tmp_path):
+        """Kill-and-resume equality: chains checkpointed at half the
+        mutation budget continue to the full budget bit-identically
+        (SURVEY.md §5 film + chain state)."""
+        from akari_render_tpu.config import MCMCConfig
+        from akari_render_tpu.integrators.mcmc import render_mcmc
+        from akari_render_tpu.scene import load_scene
+
+        s = load_scene(cbox_path, width=8, height=8)
+        ck = tmp_path / "m.npz"
+        kw = dict(max_depth=3, n_chains=32, n_bootstrap=256, direct_spp=0,
+                  spp_per_pass=2)
+        img_full, st_full = render_mcmc(s, MCMCConfig(spp=8, **kw))
+        # half-budget run leaves a mid-render checkpoint...
+        render_mcmc(s, MCMCConfig(spp=4, **kw), checkpoint_path=ck,
+                    checkpoint_every=1)
+        assert ck.exists()
+        # ...which the full-budget run resumes and completes
+        img_resumed, st_res = render_mcmc(
+            s, MCMCConfig(spp=8, **kw), checkpoint_path=ck, checkpoint_every=0
+        )
+        assert st_res["b"] == st_full["b"]
+        np.testing.assert_allclose(img_resumed, img_full, atol=1e-5)
+
+    def test_gpt_resume_continues(self, cbox_path, tmp_path):
+        from akari_render_tpu.config import GPTConfig
+        from akari_render_tpu.integrators.gpt import render_gpt
+        from akari_render_tpu.scene import load_scene
+
+        s = load_scene(cbox_path, width=8, height=8)
+        ck = tmp_path / "g.npz"
+        kw = dict(max_depth=3, reconstruction_iter=8)
+        img_full, _ = render_gpt(s, GPTConfig(spp=2, **kw))
+        render_gpt(s, GPTConfig(spp=1, **kw), checkpoint_path=ck,
+                   checkpoint_every=1)
+        assert ck.exists()
+        img_resumed, _ = render_gpt(
+            s, GPTConfig(spp=2, **kw), checkpoint_path=ck, checkpoint_every=0
+        )
+        np.testing.assert_allclose(img_resumed, img_full, atol=1e-5)
+
 
 class TestStats:
     def test_stats_format(self, tmp_path):
