@@ -59,6 +59,9 @@ class ClusterArrays(NamedTuple):
     # global-id offset) to the ray — N instances of a mesh share tri rows
     xf: jnp.ndarray | None = None  # [K, 16] minv(12) | id_off | pad(3)
     tri_row: jnp.ndarray | None = None  # [K] int32 row into tri
+    # optional packed 8-wide BVH over cluster/candidate AABBs for the packet
+    # traversal kernel (accel/wide.py attach_wide): [Nn, 128] int32
+    wide: jnp.ndarray | None = None
 
     @property
     def num_clusters(self) -> int:  # static: from array shape, jit-safe

@@ -141,12 +141,21 @@ def _sweep_kernel(tri_ix_ref, xf_ix_ref, o_ref, d_ref, lim_ref, ex_ref,
 
     @pl.when(valid)
     def _test():
-        tri = tri_ref[0]  # [C, 12]
+        mt_block_update(tri_ref[0], xf_ref[0], o_ref, d_ref, lim_ref, ex_ref,
+                        out_ref, any_hit=any_hit)
+
+
+def mt_block_update(tri, x, o_ref, d_ref, lim_ref, ex_ref, out_ref, *,
+                    any_hit):
+    """MT-test one candidate cluster [C, 12] against the resident ray block
+    and fold improvements into out_ref — the shared sweep core (used by the
+    pair sweep and the wide-BVH walk's sweep; kept in ONE place so the two
+    traversals stay bit-identical)."""
+    if True:  # preserved indentation of the original kernel body
         a_x, a_y, a_z = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
         e1x, e1y, e1z = tri[:, 3:4], tri[:, 4:5], tri[:, 5:6]
         e2x, e2y, e2z = tri[:, 6:7], tri[:, 7:8], tri[:, 8:9]
         gid = tri[:, 9:10]
-        x = xf_ref[0]  # [1, 16] world->local rows
         wd_x, wd_y, wd_z = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
         wo_x, wo_y, wo_z = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
         o_x = x[0, 0] * wo_x + x[0, 1] * wo_y + x[0, 2] * wo_z + x[0, 3]

@@ -90,12 +90,21 @@ def main():
     import os
 
     from akari_render_tpu.accel.pairs import intersect_pairs
+    from akari_render_tpu.accel.wide import attach_wide, intersect_wide
+
+    t0 = time.time()
+    clw = attach_wide(cl)
+    print(f"wide-BVH build: {clw.wide.shape[0]} nodes ({time.time()-t0:.1f}s)")
 
     results = {}
-    for mode, env in (("pairs", None), ("super", "1"), ("flat", "0")):
+    for mode, env in (("wide", None), ("pairs", None), ("super", "1"), ("flat", "0")):
         if mode == "super" and cl.sc_bmin is None:
             continue
-        if mode == "pairs":
+        if mode == "flat" and os.environ.get("AKR_BENCH_SKIP_FLAT"):
+            continue
+        if mode == "wide":
+            fn = jax.jit(lambda o, d: intersect_wide(clw, o, d, tmin, tmax))
+        elif mode == "pairs":
             fn = jax.jit(lambda o, d: intersect_pairs(cl, o, d, tmin, tmax))
         else:
             os.environ["AKR_SUPERCLUSTERS"] = env
@@ -116,7 +125,7 @@ def main():
         )
     if "flat" in results:
         hf = results["flat"][1]
-        for mode in ("pairs", "super"):
+        for mode in ("wide", "pairs", "super"):
             if mode not in results:
                 continue
             hm = results[mode][1]

@@ -1,0 +1,223 @@
+"""Decompose traversal cost on the 2M-tri heightfield (or a scene): time
+each stage of the pair-sweep round and of the wide walk separately on the
+real device, so the optimization target is MEASURED rather than modeled
+(round-2 VERDICT weak #6 / next-round item 3).
+
+Stages timed (pairs): morton sort | [B,K] interval cull | top_k window |
+[B,BLOCK,W] per-ray refinement | Pallas MT sweep. For each: wall ms and
+the deterministic HBM bytes it must move (from array shapes — not a tuned
+model), giving achieved GB/s against the ~819 GB/s v5e HBM roofline.
+
+Usage: python tools/profile_accel.py [--tris 2000000] [--rays 131072]
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import time
+
+import numpy as np
+
+
+def timed(fn, *args, reps=3):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return (time.time() - t0) / reps, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tris", type=int, default=2_000_000)
+    ap.add_argument("--rays", type=int, default=131_072)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from akari_render_tpu.accel.bvh import build_bvh
+    from akari_render_tpu.accel.cluster import build_clusters
+    from akari_render_tpu.accel.pairs import (
+        BLOCK, MAXC, WINDOW_MULT, _block_entries, _morton_keys, _sweep,
+    )
+    from akari_render_tpu.accel.wide import (
+        MAXC_WIDE, STACK_DEPTH, _sweep_ent, _walk, attach_wide,
+    )
+
+    rng = np.random.default_rng(0)
+    # heightfield (same construction as tools/bench_accel.py)
+    side = int(np.sqrt(args.tris / 2))
+    g = np.linspace(0, 10, side + 1)
+    X, Y = np.meshgrid(g, g, indexing="ij")
+    Z = np.sin(X * 1.7) * np.cos(Y * 1.3) + 0.1 * rng.standard_normal(X.shape)
+    P = np.stack([X, Z, Y], -1).astype(np.float32)
+    a = P[:-1, :-1].reshape(-1, 3)
+    b = P[1:, :-1].reshape(-1, 3)
+    c = P[:-1, 1:].reshape(-1, 3)
+    d4 = P[1:, 1:].reshape(-1, 3)
+    v0 = np.concatenate([a, b])
+    e1 = np.concatenate([b - a, d4 - b])
+    e2 = np.concatenate([c - a, c - b])
+    print(f"soup: {len(v0)} tris")
+    t0 = time.time()
+    bvh = build_bvh(v0, e1, e2)
+    cl = build_clusters(v0, e1, e2, np.asarray(bvh.order))
+    clw = attach_wide(cl)
+    print(f"build: {cl.num_clusters} clusters, wide {clw.wide.shape[0]} nodes "
+          f"({time.time()-t0:.1f}s)")
+
+    n = args.rays
+    o = np.full((n, 3), [5.0, 4.0, 5.0], np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.asarray(o)
+    d = jnp.asarray(d)
+    tmin = jnp.zeros(n)
+    tmax = jnp.full(n, 1e20)
+
+    K = cl.num_clusters
+    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    B = n_pad // BLOCK
+    W = min(MAXC * WINDOW_MULT, K)
+    GBs = 1e9
+
+    print(f"\n[pairs decomposition] B={B} blocks, K={K} clusters, W={W}")
+
+    # ---- stage 1: morton keys + sort
+    lo = cl.cbmin.min(axis=0)[None]
+    hi = cl.cbmax.max(axis=0)[None]
+    f_sort = jax.jit(lambda o, d: jnp.argsort(_morton_keys(o, d, lo, hi)))
+    dt, perm = timed(f_sort, o, d, reps=args.reps)
+    print(f"  sort:        {dt*1e3:8.2f} ms")
+
+    os_ = o[perm]
+    ds_ = d[perm]
+    ob = os_.reshape(B, BLOCK, 3)
+    olo, ohi = ob.min(axis=1), ob.max(axis=1)
+    inv_d = 1.0 / jnp.where(jnp.abs(ds_) < 1e-20, 1e-20, ds_)
+    ib = inv_d.reshape(B, BLOCK, 3)
+    ilo, ihi = ib.min(axis=1), ib.max(axis=1)
+    bt0 = jnp.zeros(B)
+    bt1 = jnp.full(B, 1e20)
+
+    # ---- stage 2: [B, K] conservative cull
+    f_cull = jax.jit(lambda: _block_entries(cl.cbmin, cl.cbmax, olo, ohi,
+                                            ilo, ihi, bt0, bt1))
+    dt, e = timed(f_cull, reps=args.reps)
+    bytes_cull = (B * K * 4) + (K * 6 * 4)
+    print(f"  cull [B,K]:  {dt*1e3:8.2f} ms  ({bytes_cull/dt/GBs:6.1f} GB/s "
+          f"on {bytes_cull/1e6:.0f} MB out)")
+
+    # ---- stage 3: top_k window
+    f_topk = jax.jit(lambda e: jax.lax.top_k(-e, W))
+    dt, (neg, win_i) = timed(f_topk, e, reps=args.reps)
+    print(f"  top_k W:     {dt*1e3:8.2f} ms")
+    win_e = -neg
+    win_i = win_i.astype(jnp.int32)
+
+    # ---- stage 4: per-ray window refinement [B, BLOCK, W]
+    INF = jnp.inf
+
+    @jax.jit
+    def f_refine(win_i, win_e):
+        wbmin = cl.cbmin[win_i]
+        wbmax = cl.cbmax[win_i]
+        near = jnp.full((B, BLOCK, W), -INF)
+        far = jnp.full((B, BLOCK, W), INF)
+        for ax in range(3):
+            t0 = (wbmin[..., ax][:, None, :] - ob[..., ax][:, :, None]) * ib[..., ax][:, :, None]
+            t1 = (wbmax[..., ax][:, None, :] - ob[..., ax][:, :, None]) * ib[..., ax][:, :, None]
+            near = jnp.maximum(near, jnp.minimum(t0, t1))
+            far = jnp.minimum(far, jnp.maximum(t0, t1))
+        pass_ray = near <= far
+        return jnp.any(pass_ray, axis=1) & jnp.isfinite(win_e)
+
+    dt, nonzero = timed(f_refine, win_i, win_e, reps=args.reps)
+    # conservative traffic estimate: the [B,BLOCK,W] near/far/t0/t1 temps may
+    # fuse; count the two reduction inputs actually unavoidable
+    bytes_ref = B * BLOCK * W * 4 * 2
+    print(f"  refine:      {dt*1e3:8.2f} ms  ({bytes_ref/dt/GBs:6.1f} GB/s "
+          f"if near+far hit HBM once; [B,BLOCK,W]={B*BLOCK*W/1e6:.0f}M lanes)")
+
+    # ---- stage 5: the sweep with a realistic candidate load
+    kept_rank = jnp.cumsum(nonzero.astype(jnp.int32), axis=1)
+    selected = nonzero & (kept_rank <= MAXC)
+    posW = jnp.arange(W, dtype=jnp.int32)
+    key = jnp.where(selected, posW[None, :], W + posW[None, :])
+    order = jnp.argsort(key, axis=1)[:, :MAXC]
+    cand_ok = jnp.take_along_axis(selected, order, axis=1)
+    cand_i = jnp.take_along_axis(win_i, order, axis=1)
+    c_size = cl.tri.shape[1]
+    dummy = jnp.zeros((1, c_size, 12), jnp.float32).at[0, :, 9].set(-1.0)
+    tri = jnp.concatenate([cl.tri, dummy], axis=0)
+    dummy_row = tri.shape[0] - 1
+    tri_ix = jnp.where(cand_ok, cand_i, dummy_row).astype(jnp.int32)
+    xf_ix = jnp.zeros_like(tri_ix)
+    ident = (jnp.zeros((1, 16), jnp.float32).at[0, 0].set(1.0)
+             .at[0, 5].set(1.0).at[0, 10].set(1.0))[:, None, :]
+    navg = float(jnp.mean(jnp.sum(cand_ok, axis=1)))
+
+    def pad_soa(x, fill):
+        return jnp.pad(x, ((0, n_pad - n),) + ((0, 0),) * (x.ndim - 1),
+                       constant_values=fill)
+
+    o_soa = pad_soa(os_, 0.0).T
+    d_soa = pad_soa(ds_, 1.0).T
+    lim = jnp.stack([jnp.zeros(n_pad), jnp.full(n_pad, 1e20)])
+    exx = jnp.full((3, n_pad), -1.0)
+    best0 = jnp.stack([jnp.full(n_pad, 1e20), jnp.full(n_pad, -1.0),
+                       jnp.zeros(n_pad), jnp.zeros(n_pad)])
+    f_sweep = jax.jit(lambda ti, xi, b: _sweep(ti, xi, o_soa, d_soa, lim, exx,
+                                               tri, ident, b, False))
+    dt, _ = timed(f_sweep, tri_ix, xf_ix, best0, reps=args.reps)
+    steps = B * MAXC
+    flops = navg * B * c_size * BLOCK * 80
+    bytes_sweep = steps * c_size * 12 * 4
+    print(f"  sweep:       {dt*1e3:8.2f} ms  ({steps} steps, {dt/steps*1e6:.1f} "
+          f"us/step, avg {navg:.1f} live cands/block, "
+          f"{flops/dt/1e12:.2f} TFLOP/s MT, {bytes_sweep/dt/GBs:.1f} GB/s DMA)")
+
+    # ---- wide decomposition
+    print(f"\n[wide decomposition] nodes={clw.wide.shape[0]}, "
+          f"maxc={MAXC_WIDE}, stack={STACK_DEPTH}")
+    SD = STACK_DEPTH
+    sid0 = jnp.zeros((B, 1, SD), jnp.int32)
+    se0 = jnp.full((B, 1, SD), -3e38, jnp.float32)
+    srow0 = jnp.zeros((B, 1, SD), jnp.int32)
+    sp0 = jnp.ones((B, 1, 1), jnp.int32)
+    f_walk = jax.jit(lambda best, sid, se, srow, sp: _walk(
+        clw.wide, o_soa, d_soa, lim, best, sid, se, srow, sp, False,
+        MAXC_WIDE, False))
+    dt, (crow, cxf, cent, sid, se, srow, cnt) = timed(
+        f_walk, best0, sid0, se0, srow0, sp0, reps=args.reps)
+    emitted = float(jnp.mean(jnp.sum((crow[:, 0] >= 0), axis=-1)))
+    live = int(jnp.sum(cnt[:, 0, 0] > 0))
+    print(f"  walk r1:     {dt*1e3:8.2f} ms  (avg {emitted:.1f}/{MAXC_WIDE} "
+          f"cands emitted, {live}/{B} blocks still walking)")
+
+    tri_ix2 = jnp.where(crow[:, 0] >= 0, crow[:, 0], dummy_row).astype(jnp.int32)
+    xf_ix2 = jnp.zeros_like(tri_ix2)
+    f_sweep2 = jax.jit(lambda ti, xi, ce, b: _sweep_ent(
+        ti, xi, o_soa, d_soa, lim, exx, ce, tri, ident, b, False))
+    dt2, best1 = timed(f_sweep2, tri_ix2, xf_ix2, cent, best0, reps=args.reps)
+    print(f"  sweep r1:    {dt2*1e3:8.2f} ms  ({B * MAXC_WIDE} steps, "
+          f"{dt2/(B*MAXC_WIDE)*1e6:.1f} us/step)")
+
+    # round 2 with tightened best + saved stack (the resume path)
+    f_walk2 = jax.jit(lambda best, sid, se, srow, sp: _walk(
+        clw.wide, o_soa, d_soa, lim, best, sid, se, srow, sp, False,
+        MAXC_WIDE, False))
+    dt3, out3 = timed(f_walk2, best1, sid, se, srow, cnt[:, :, 0:1],
+                      reps=args.reps)
+    live3 = int(jnp.sum(out3[6][:, 0, 0] > 0))
+    print(f"  walk r2:     {dt3*1e3:8.2f} ms  ({live3}/{B} blocks after)")
+
+
+if __name__ == "__main__":
+    main()
