@@ -158,6 +158,20 @@ def render_pt(scene: Scene, config: PTConfig, task=None, progress_cb=None,
     checkpoint_path: if set, resume from it when compatible and save the
     film + pass counter there every `checkpoint_every` passes (new vs the
     reference, which cannot resume renders — SURVEY.md §5)."""
+    import os as _os
+
+    if (
+        _os.environ.get("AKR_PERSISTENT", "0") == "1"
+        and checkpoint_path is None
+        and (session is None or not session.save_intermediate)
+    ):
+        # persistent wavefront (compaction + refill) — same image
+        # distribution, measured A/B in tests/test_wavefront.py
+        from .wavefront import render_pt_wavefront
+
+        return render_pt_wavefront(
+            scene, config, task=task, progress_cb=progress_cb, session=session
+        )
     width, height = scene.camera.width, scene.camera.height
     filt = filter_from_config(task.filter_config if task else None)
     settings = PTSettings(

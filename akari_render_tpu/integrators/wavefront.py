@@ -1,0 +1,384 @@
+"""Persistent wavefront path tracing: stream compaction + queue refill.
+
+The pass-based core (common.trace_paths) carries a fixed N-lane batch from
+depth 0 to max_depth; lanes that die early (escape / RR — the majority past
+depth ~5 of 12) still occupy traversal blocks and shade chunks until every
+lane dies. This module keeps the wavefront FULL instead: one persistent pool
+of lanes at mixed depths, and after every bounce the dead lanes are retired
+(their radiance scatter-added into the film) and immediately refilled with
+fresh camera samples pulled from the pass's (pixel, sample) work queue.
+
+This finishes the reference's own wavefront blueprint — fixed-capacity SoA
+queues with count-then-allocate compaction (crates/akari_integrator/src/
+wfpt.rs:45-73, 100-225) — in its TPU-native form: the "queue" is an integer
+range (item = sample * npix + pixel, so refilled lanes are spatially
+coherent), compaction is a cumsum rank over the dead mask, and the film's
+f32 atomics are jnp scatter-adds.
+
+Per-item radiance is IDENTICAL to the pass-based path (same sampler stream
+keyed by (pixel, sample), same bounce math — depth simply lives per-lane
+instead of per-loop); only the film accumulation order differs, so an A/B
+against render_pt converges to allclose, which tests/test_wavefront.py
+asserts.
+
+Watchdog safety: one device dispatch runs a bounded number of bounce
+iterations (lax.while_loop with an iteration cap, early exit when the queue
+drains and every lane has died); the host loop re-dispatches with donated
+carries until done, calibrating the cap from a probe dispatch like
+integrators/pt.py's adaptive pass sizing.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import replace
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..camera import generate_rays
+from ..config import PTConfig
+from ..core.film import Film, develop
+from ..core.filters import filter_from_config
+from ..core.math import RAY_TMAX, dot, face_forward, offset_ray_origin
+from ..core.sampling import mis_weight
+from ..lights import finish_light_sample, pdf_direct, sample_light_point
+from ..scene import Scene
+from .common import PTSettings, _emission_at, _tree_select, dispatch_shade
+from .pt import max_wavefront_lanes
+
+
+def _fresh_lanes(scene: Scene, filt, width, height, item, sampler_config, seed):
+    """Build lane state for queue items (item = sample * npix + pixel)."""
+    from ..core.lds import make_sampler
+
+    npix = width * height
+    n = item.shape[0]
+    sample_idx = (item // npix).astype(jnp.uint32)
+    pix = (item % npix).astype(jnp.uint32)
+    sampler = make_sampler(sampler_config, pix, sample_idx, seed)
+    sampler, u_film = sampler.next_2d()
+    off, fw = filt.sample(u_film)
+    p_film = (
+        jnp.stack(
+            [(pix % width).astype(jnp.float32), (pix // width).astype(jnp.float32)],
+            -1,
+        )
+        + 0.5
+        + off
+    )
+    ray_o, ray_d = generate_rays(scene.camera, p_film)
+    return {
+        "pix": pix.astype(jnp.int32),
+        "fw": fw,
+        "ray_o": ray_o,
+        "ray_d": ray_d,
+        "exclude": jnp.full((n,), -1, jnp.int32),
+        "radiance": jnp.zeros((n, 3)),
+        "beta": jnp.ones((n, 3)),
+        "active": jnp.ones((n,), bool),
+        "prev_bsdf_pdf": jnp.zeros((n,)),
+        "base_replay": jnp.zeros((n, 3)),
+        "depth": jnp.zeros((n,), jnp.int32),
+        "sampler": sampler,
+    }
+
+
+def _bounce_perlane(scene: Scene, settings: PTSettings, st):
+    """One bounce at per-lane depth — the same math as common.trace_paths'
+    bounce_body + final_emission folded together: a lane whose depth has
+    reached max_depth takes the emission tap and dies (pt.rs depth==max
+    final intersect), everyone else continues through NEE/BSDF/RR."""
+    a = scene.arrays
+    n = st["pix"].shape[0]
+    depth = st["depth"]
+
+    hit = scene.intersect_alpha(
+        st["ray_o"], st["ray_d"], jnp.zeros((n,)),
+        jnp.where(st["active"], RAY_TMAX, -1.0),
+        exclude0=st["exclude"],
+    )
+    lane_hit = st["active"] & hit.valid
+    si = scene.surface_interaction(jnp.maximum(hit.tri_id, 0), hit.bary)
+    wo = -st["ray_d"]
+
+    # surface-light emission + MIS (pt.rs:230-258)
+    front = dot(si["ng"], st["ray_d"]) < 0.0
+    ok = lane_hit & (si["light_id"] >= 0) & front
+    le = _emission_at(scene, si, wo)
+    if settings.use_nee:
+        lpdf = pdf_direct(
+            a.lights, si["light_id"], si["prim_pdf"], si["area"], si["ng"],
+            si["p"], st["ray_o"],
+        )
+        w = jnp.where(depth == 0, 1.0, mis_weight(st["prev_bsdf_pdf"], lpdf))
+    else:
+        w = jnp.ones((n,))
+    if settings.indirect_only:
+        w = jnp.where(depth > 1, w, 0.0)
+    st["radiance"] = st["radiance"] + jnp.where(
+        ok[..., None], st["beta"] * le * w[..., None], 0.0
+    )
+    st["base_replay"] = jnp.where(
+        (depth == 0)[..., None], st["radiance"], st["base_replay"]
+    )
+
+    # lanes at the depth limit stop here (final emission tap only)
+    st["active"] = lane_hit & (depth < settings.max_depth)
+    cur_depth = depth + 1
+
+    # NEE light sampling (pt.rs:470-478, 170-209)
+    sampler = st["sampler"]
+    sampler, u_light = sampler.next_3d()
+    nee = settings.use_nee and a.lights.num_lights > 0
+    if nee:
+        light, lc_pdf, ltri, lprim_pdf, lbary = sample_light_point(
+            a.lights, a, u_light[..., 0], u_light[..., 1:]
+        )
+        lsi = scene.surface_interaction(ltri, lbary)
+        ls = finish_light_sample(
+            lc_pdf, lprim_pdf, ltri, lbary, jnp.zeros((n, 3)),
+            lsi["p"], lsi["ng"], lsi["area"], si["p"], si["ng"],
+        )
+        l_emission = _emission_at(scene, lsi, -ls.wi)
+        front_l = dot(ls.wi, lsi["ng"]) < 0.0
+        ls = ls._replace(li=jnp.where(front_l[..., None], l_emission, 0.0))
+        light_valid = ls.valid & st["active"]
+        if settings.indirect_only:
+            light_valid = light_valid & (cur_depth > 1)
+    else:
+        ls = None
+        light_valid = jnp.zeros((n,), bool)
+
+    # BSDF sample + direct shading in one dispatch (pt.rs:296-323)
+    sampler, u_bsdf = sampler.next_3d()
+    extra = {"wo": wo, "u_bsdf": u_bsdf}
+    if ls is not None:
+        extra["ls_wi"] = ls.wi
+        extra["ls_li"] = ls.li
+        extra["ls_pdf"] = ls.pdf
+
+    def shade(closure, ex):
+        out = {}
+        if ls is not None:
+            f_l, pdf_l = closure.evaluate(ex["wo"], ex["ls_wi"])
+            w = mis_weight(ex["ls_pdf"], pdf_l)
+            out["direct"] = (
+                ex["ls_li"] * f_l * (w / jnp.maximum(ex["ls_pdf"], 1e-20))[..., None]
+            )
+        s = closure.sample(ex["wo"], ex["u_bsdf"][..., 0], ex["u_bsdf"][..., 1:])
+        out["wi"], out["f"], out["pdf"], out["valid"] = (
+            s["wi"], s["f"], s["pdf"], s["valid"],
+        )
+        return out
+
+    sh = dispatch_shade(scene, si, extra, shade, force_diffuse=settings.force_diffuse)
+
+    # shadow ray + add direct (pt.rs:504-513)
+    if ls is not None:
+        occluded = scene.occlude_alpha(
+            ls.shadow_ro, ls.wi, jnp.zeros((n,)),
+            jnp.where(light_valid, ls.shadow_dist, -1.0),
+            exclude0=si["tri_id"].astype(jnp.int32), exclude1=ls.dest_tri,
+        )
+        direct_ok = light_valid & ~occluded
+        st["radiance"] = st["radiance"] + jnp.where(
+            direct_ok[..., None], st["beta"] * sh["direct"], 0.0
+        )
+
+    # continue path (pt.rs:778-866)
+    sample_ok = sh["valid"] & (sh["pdf"] > 0.0) & (jnp.min(sh["f"], -1) >= 0.0)
+    st["active"] = st["active"] & sample_ok
+    st["beta"] = st["beta"] * jnp.where(
+        st["active"][..., None],
+        sh["f"] / jnp.maximum(sh["pdf"], 1e-20)[..., None],
+        1.0,
+    )
+
+    # russian roulette (pt.rs:210-224, 843-850)
+    sampler, u_rr = sampler.next_1d()
+    cont_prob = jnp.where(
+        cur_depth > settings.rr_depth,
+        jnp.clip(jnp.max(st["beta"], -1), 0.0, 1.0) * 0.95,
+        1.0,
+    )
+    st["active"] = st["active"] & (u_rr < cont_prob)
+    st["beta"] = st["beta"] / jnp.maximum(cont_prob, 1e-20)[..., None]
+
+    st["prev_bsdf_pdf"] = sh["pdf"]
+    st["ray_o"] = offset_ray_origin(si["p"], face_forward(si["ng"], sh["wi"]))
+    st["ray_d"] = sh["wi"]
+    st["exclude"] = si["tri_id"].astype(jnp.int32)
+    st["depth"] = cur_depth
+    st["sampler"] = sampler
+    return st
+
+
+def _finish_radiance(settings: PTSettings, st):
+    """Path-end clamp (common.trace_paths tail): indirect = total - the
+    directly-seen emission, clipped."""
+    radiance = st["radiance"]
+    if settings.clamp_indirect > 0.0:
+        indirect = jnp.clip(
+            radiance - st["base_replay"], None, settings.clamp_indirect
+        )
+        radiance = st["base_replay"] + indirect
+    from ..core.film import remove_nan
+
+    return remove_nan(radiance)
+
+
+def _make_step(scene: Scene, settings: PTSettings, filt, width, height,
+               sampler_config, seed, pool):
+    """Jitted persistent step: up to `iters` retire/refill/bounce rounds."""
+    npix = width * height
+
+    def step(arrays, accum, weight, lanes, qhead, total, iters):
+        sc = replace(scene, arrays=arrays)
+
+        def refill(carry):
+            accum, weight, lanes, qhead = carry
+            retire = (~lanes["active"]) & (lanes["pix"] >= 0)
+            pixc = jnp.clip(lanes["pix"], 0, npix - 1)
+            contrib = _finish_radiance(settings, lanes) * lanes["fw"][..., None]
+            accum = accum.at[pixc].add(
+                jnp.where(retire[..., None], contrib, 0.0)
+            )
+            weight = weight.at[pixc].add(jnp.where(retire, lanes["fw"], 0.0))
+            # mark retired slots empty, then refill empties from the queue
+            empty = ~lanes["active"]
+            rank = jnp.cumsum(empty.astype(jnp.int32)) - empty.astype(jnp.int32)
+            item = qhead + rank
+            have = empty & (item < total)
+            fresh = _fresh_lanes(
+                sc, filt, width, height, jnp.minimum(item, total - 1),
+                sampler_config, seed,
+            )
+            lanes["pix"] = jnp.where(empty, -1, lanes["pix"])
+            lanes["active"] = lanes["active"] & ~empty
+            lanes = _tree_select(have, fresh, lanes)
+            qhead = jnp.minimum(qhead + jnp.sum(empty.astype(jnp.int32)), total)
+            return accum, weight, lanes, qhead
+
+        def cond(c):
+            i, accum, weight, lanes, qhead = c
+            return (i < iters) & (
+                (qhead < total) | jnp.any(lanes["active"])
+            )
+
+        def body(c):
+            i, accum, weight, lanes, qhead = c
+            accum, weight, lanes, qhead = refill((accum, weight, lanes, qhead))
+            lanes = _bounce_perlane(sc, settings, lanes)
+            return i + 1, accum, weight, lanes, qhead
+
+        _, accum, weight, lanes, qhead = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), accum, weight, lanes, qhead)
+        )
+        # flush lanes that died on the capped last bounce without waiting for
+        # the next dispatch's refill (keeps the final dispatch's tail exact)
+        retire = (~lanes["active"]) & (lanes["pix"] >= 0)
+        pixc = jnp.clip(lanes["pix"], 0, npix - 1)
+        contrib = _finish_radiance(settings, lanes) * lanes["fw"][..., None]
+        accum = accum.at[pixc].add(jnp.where(retire[..., None], contrib, 0.0))
+        weight = weight.at[pixc].add(jnp.where(retire, lanes["fw"], 0.0))
+        lanes["pix"] = jnp.where(retire, -1, lanes["pix"])
+        n_active = jnp.sum(lanes["active"].astype(jnp.int32))
+        return accum, weight, lanes, qhead, n_active
+
+    return jax.jit(step, donate_argnums=(1, 2, 3), static_argnums=(6,))
+
+
+def _empty_lanes(scene: Scene, filt, width, height, pool, sampler_config, seed):
+    lanes = _fresh_lanes(
+        scene, filt, width, height, jnp.zeros((pool,), jnp.int32),
+        sampler_config, seed,
+    )
+    lanes["pix"] = jnp.full((pool,), -1, jnp.int32)
+    lanes["active"] = jnp.zeros((pool,), bool)
+    return lanes
+
+
+def render_pt_wavefront(scene: Scene, config: PTConfig, task=None,
+                        progress_cb=None, session=None):
+    """Persistent-wavefront render_pt: same image distribution, full lanes.
+
+    Returns (image [H, W, 3] numpy, stats dict) like integrators/pt.py.
+    """
+    width, height = scene.camera.width, scene.camera.height
+    npix = width * height
+    filt = filter_from_config(task.filter_config if task else None)
+    settings = PTSettings(
+        max_depth=config.max_depth,
+        rr_depth=config.rr_depth,
+        use_nee=config.use_nee,
+        indirect_only=config.indirect_only,
+        force_diffuse=config.force_diffuse,
+        clamp_indirect=config.clamp_indirect,
+    )
+    seed = task.seed if task else 0
+    sampler_config = task.sampler if task else None
+    pool = min(npix * config.spp, max_wavefront_lanes(scene))
+
+    step = _make_step(
+        scene, settings, filt, width, height, sampler_config, seed, pool
+    )
+    accum = jnp.zeros((npix, 3))
+    weight = jnp.zeros((npix,))
+    lanes = _empty_lanes(scene, filt, width, height, pool, sampler_config, seed)
+    qhead = jnp.int32(0)
+    total = jnp.int32(npix * config.spp)
+
+    stats = {"time": [], "spp": []}
+    t0 = time.time()
+
+    # calibrate iterations-per-dispatch against the relay watchdog budget
+    import os
+
+    from ..scene import _on_tpu
+
+    try:
+        budget = float(os.environ.get("AKR_MAX_PASS_SECONDS", "40"))
+    except ValueError:
+        budget = 40.0
+    iters = int(os.environ.get("AKR_WF_ITERS", "0"))
+    if iters <= 0:
+        if _on_tpu() and budget > 0:
+            accum, weight, lanes, qhead, n_active = step(
+                scene.arrays, accum, weight, lanes, qhead, total, 4
+            )
+            jax.block_until_ready(accum)  # compile + first 4 iters
+            tp = time.time()
+            accum, weight, lanes, qhead, n_active = step(
+                scene.arrays, accum, weight, lanes, qhead, total, 4
+            )
+            jax.block_until_ready(accum)
+            per_iter = (time.time() - tp) / 4
+            iters = max(4, int(budget / max(per_iter, 1e-6)))
+        else:
+            iters = 10 ** 9  # no watchdog off-TPU: drain in one call
+
+    done_items = 0
+    while True:
+        accum, weight, lanes, qhead, n_active = step(
+            scene.arrays, accum, weight, lanes, qhead, total, iters
+        )
+        qh = int(qhead)
+        na = int(n_active)
+        done_items = qh - na
+        if progress_cb is not None:
+            stats["time"].append(time.time() - t0)
+            stats["spp"].append(done_items // max(npix, 1))
+            progress_cb(done_items // max(npix, 1), config.spp, stats)
+        if session is not None and session.display is not None:
+            film = Film(accum=accum, splat=jnp.zeros_like(accum), weight=weight)
+            session.display(np.asarray(develop(film, width, height)))
+        if qh >= int(total) and na == 0:
+            break
+    jax.block_until_ready(accum)
+    stats["total_time"] = time.time() - t0
+    stats["spp_total"] = config.spp
+    film = Film(accum=accum, splat=jnp.zeros_like(accum), weight=weight)
+    img = np.asarray(develop(film, width, height))
+    return img, stats

@@ -1,0 +1,43 @@
+"""Persistent-wavefront PT (integrators/wavefront.py) vs the pass-based
+path tracer. Per-item radiance uses identical sampler streams keyed by
+(pixel, sample), so the two must agree to fp-accumulation tolerance."""
+import numpy as np
+import pytest
+
+from akari_render_tpu.config import PTConfig
+from akari_render_tpu.integrators.pt import render_pt
+from akari_render_tpu.integrators.wavefront import render_pt_wavefront
+from akari_render_tpu.scene import load_scene
+
+
+@pytest.fixture(scope="module")
+def cbox():
+    return load_scene(
+        "/root/reference/scenes/cbox/scene.json", width=32, height=32
+    )
+
+
+def test_matches_pass_based(cbox):
+    cfg = PTConfig(spp=4, max_depth=5, rr_depth=3)
+    img_p, _ = render_pt(cbox, cfg)
+    img_w, _ = render_pt_wavefront(cbox, cfg)
+    np.testing.assert_allclose(img_w, img_p, rtol=2e-4, atol=2e-5)
+
+
+def test_matches_with_small_pool(cbox, monkeypatch):
+    """Force a pool smaller than the frame so the queue actually cycles
+    (many refills per pass) and the capped-dispatch path executes."""
+    monkeypatch.setenv("AKR_MAX_LANES", "1024")
+    monkeypatch.setenv("AKR_WF_ITERS", "7")
+    cfg = PTConfig(spp=2, max_depth=4, rr_depth=2)
+    img_p, _ = render_pt(cbox, cfg)
+    img_w, _ = render_pt_wavefront(cbox, cfg)
+    np.testing.assert_allclose(img_w, img_p, rtol=2e-4, atol=2e-5)
+
+
+def test_deep_config_with_rr(cbox):
+    """rr_depth < max_depth exercises per-lane RR death + refill."""
+    cfg = PTConfig(spp=2, max_depth=8, rr_depth=1)
+    img_p, _ = render_pt(cbox, cfg)
+    img_w, _ = render_pt_wavefront(cbox, cfg)
+    np.testing.assert_allclose(img_w, img_p, rtol=2e-4, atol=2e-5)
