@@ -75,22 +75,39 @@ def _sum_films(stacked):
 # ---- PT -----------------------------------------------------------------------
 def make_sharded_pass(scene, settings: PTSettings, filt, width: int, height: int,
                       mesh: Mesh, spp_chunk: int = 1, seed: int = 0,
-                      sampler_config=None):
-    """Build the jitted multi-chip pass: `spp_chunk` samples of every pixel
-    per dispatch, pixels sharded over "d", the sample loop INSIDE jit
-    (lax.fori_loop) like the single-chip render_pt pass."""
+                      sampler_config=None, lanes: int | None = None):
+    """Build the jitted multi-chip pass: `spp_chunk` samples of a pixel
+    BLOCK per dispatch, pixels sharded over "d", the sample loop INSIDE jit
+    (lax.fori_loop) like the single-chip render_pt pass.
+
+    `lanes` caps the per-device wavefront (integrators/pt.py::
+    max_wavefront_lanes): each device traces `lanes` pixels of ITS OWN
+    contiguous film-row range per dispatch (offset `base_local`), keeping
+    the zero-communication property — a big frame is a host loop over
+    base_local instead of one multi-GB dispatch. When lanes does not divide
+    per_dev, dynamic_slice clamps the last block so a few rows are traced
+    twice with IDENTICAL (pixel, sample)-keyed contributions — accum and
+    weight scale together, so the developed pixel value is unchanged."""
     npix = width * height
     ndev = mesh.devices.size
     assert npix % ndev == 0, f"{npix} pixels not divisible by {ndev} devices"
+    per_dev = npix // ndev
+    lanes = per_dev if lanes is None else min(lanes, per_dev)
     from ..core.lds import make_sampler
 
-    def shard_body(arrays, film, pix, start_sample):
-        # pix: [npix/ndev] absolute pixel ids; scene replicated, FILM SHARDED:
-        # lane i of the shard IS film row pix[i] -> pure elementwise add,
-        # ZERO inter-chip communication per pass.
+    def shard_body(arrays, film, base_local, start_sample):
+        # device k owns film rows [k*per_dev, (k+1)*per_dev); this dispatch
+        # covers `lanes` of them starting at base_local -> pure local-slice
+        # add, ZERO inter-chip communication per pass.
         sc = replace(scene, arrays=arrays)
+        k = jax.lax.axis_index("d").astype(jnp.uint32)
+        pix = (
+            k * jnp.uint32(per_dev)
+            + base_local.astype(jnp.uint32)
+            + jnp.arange(lanes, dtype=jnp.uint32)
+        )
 
-        def one_sample(sample_idx, film):
+        def one_sample(sample_idx, blk):
             sampler = make_sampler(
                 sampler_config, pix, sample_idx.astype(jnp.uint32), seed
             )
@@ -111,23 +128,30 @@ def make_sharded_pass(scene, settings: PTSettings, filt, width: int, height: int
             radiance, aux, _ = trace_paths(sc, settings, ray_o, ray_d, sampler)
             from ..core.film import add_samples_aligned
 
-            return add_samples_aligned(film, radiance, fw)
+            return add_samples_aligned(blk, radiance, fw)
 
         start = start_sample.astype(jnp.int32)
-        return jax.lax.fori_loop(start, start + spp_chunk, one_sample, film)
+        base = base_local.astype(jnp.int32)
+        blk = jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, base, lanes, 0), film
+        )
+        blk = jax.lax.fori_loop(start, start + spp_chunk, one_sample, blk)
+        return jax.tree_util.tree_map(
+            lambda x, b: jax.lax.dynamic_update_slice_in_dim(x, b, base, 0),
+            film, blk,
+        )
 
     sharded = shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(P(), P("d"), P("d"), P()),
+        in_specs=(P(), P("d"), P(), P()),
         out_specs=P("d"),
         check_rep=False,
     )
 
     @jax.jit
-    def one_pass(arrays, film, start_sample):
-        pix = jnp.arange(npix, dtype=jnp.uint32)
-        return sharded(arrays, film, pix, start_sample)
+    def one_pass(arrays, film, start_sample, base_local=jnp.uint32(0)):
+        return sharded(arrays, film, base_local, start_sample)
 
     return one_pass
 
@@ -148,6 +172,19 @@ def render_pt_sharded(scene, config, task=None, mesh: Mesh | None = None,
     sampler_config = task.sampler if task else None
     spp_chunk = min(config.spp, config.spp_per_pass)
 
+    # per-device wavefront cap (integrators/pt.py): big frames trace in
+    # pixel blocks per device instead of one multi-GB dispatch (round-2
+    # weakness: the sharded path skipped the blocking the single-chip path
+    # was built around)
+    from ..integrators.pt import max_wavefront_lanes
+
+    ndev = mesh.devices.size
+    npix = width * height
+    per_dev = npix // max(ndev, 1)
+    lanes = min(per_dev, max_wavefront_lanes(scene))
+    n_blocks = -(-per_dev // lanes)
+    lanes = -(-per_dev // n_blocks)
+
     pass_fns: dict = {}
 
     def get_pass(chunk):
@@ -155,8 +192,16 @@ def render_pt_sharded(scene, config, task=None, mesh: Mesh | None = None,
             pass_fns[chunk] = make_sharded_pass(
                 scene, settings, filt, width, height, mesh,
                 spp_chunk=chunk, seed=seed, sampler_config=sampler_config,
+                lanes=lanes,
             )
         return pass_fns[chunk]
+
+    def run_pass(chunk, film, start_sample):
+        fn = get_pass(chunk)
+        for base in range(0, per_dev, lanes):
+            film = fn(scene.arrays, film, jnp.uint32(start_sample),
+                      jnp.uint32(base))
+        return film
 
     from ..stats import RenderStats
 
@@ -187,15 +232,14 @@ def render_pt_sharded(scene, config, task=None, mesh: Mesh | None = None,
         and config.spp - done > 2
         and os.environ.get("AKR_ADAPTIVE_PASS", "1") != "0"
     ):
-        probe = get_pass(1)
-        film = probe(scene.arrays, film, jnp.uint32(done))
+        film = run_pass(1, film, done)
         jax.block_until_ready(film)
         done += 1
         tp = time.time()
-        film = probe(scene.arrays, film, jnp.uint32(done))
+        film = run_pass(1, film, done)
         jax.block_until_ready(film)
         done += 1
-        per_spp = time.time() - tp
+        per_spp = (time.time() - tp) / max(1, -(-per_dev // lanes))
         max_chunk = max(1, int(budget / max(per_spp, 1e-6)))
         remaining = config.spp - done
         if spp_chunk > max_chunk:
@@ -205,7 +249,7 @@ def render_pt_sharded(scene, config, task=None, mesh: Mesh | None = None,
     pass_no = 0
     while done < config.spp:
         chunk = min(spp_chunk, config.spp - done)
-        film = get_pass(chunk)(scene.arrays, film, jnp.uint32(done))
+        film = run_pass(chunk, film, done)
         done += chunk
         pass_no += 1
         last = done >= config.spp
@@ -381,7 +425,12 @@ def render_gpt_sharded(scene, config, task=None, mesh: Mesh | None = None,
     """Multi-chip gradient-domain PT: pixels sharded over "d"; each device
     accumulates six private full-frame films (gradient splats cross shard
     borders) summed once before reconstruction. Per-pixel PSS streams are
-    keyed by absolute pixel id, so output matches single-chip render_gpt."""
+    keyed by absolute pixel id, so output matches single-chip render_gpt.
+
+    Feature parity with single-chip render_gpt's host loop: adaptive
+    per-device pixel chunking against the dispatch watchdog (a GPT sample is
+    ~6 path traces, so each device traces row blocks of its pixel range, one
+    block per dispatch) + session stats / save-intermediate / display."""
     from ..integrators.gpt import gpt_sample_films, screened_poisson
     from ..integrators.mcmc import sample_dimension
 
@@ -391,6 +440,7 @@ def render_gpt_sharded(scene, config, task=None, mesh: Mesh | None = None,
     width, height = scene.camera.width, scene.camera.height
     npix = width * height
     assert npix % ndev == 0, f"{npix} pixels not divisible by {ndev} devices"
+    per_dev = npix // ndev
     filt = filter_from_config(task.filter_config if task else None)
     settings = PTSettings(
         max_depth=config.max_depth, rr_depth=config.rr_depth, use_nee=config.use_nee
@@ -398,7 +448,15 @@ def render_gpt_sharded(scene, config, task=None, mesh: Mesh | None = None,
     D = sample_dimension(config.max_depth)
     seed = task.seed if task else 0
 
-    def shard_body(arrays, films_stack, pix, sample_idx):
+    def shard_body(arrays, films_stack, base_local, sample_idx, *, chunk):
+        # device k samples pixels [k*per_dev + base, k*per_dev + base+chunk)
+        # into its OWN six films (splats may land anywhere in the frame)
+        k = jax.lax.axis_index("d").astype(jnp.uint32)
+        pix = (
+            k * jnp.uint32(per_dev)
+            + base_local.astype(jnp.uint32)
+            + jnp.arange(chunk, dtype=jnp.uint32)
+        )
         films = tuple(
             jax.tree_util.tree_map(lambda x: x[0], f) for f in films_stack
         )
@@ -410,25 +468,96 @@ def render_gpt_sharded(scene, config, task=None, mesh: Mesh | None = None,
             jax.tree_util.tree_map(lambda x: x[None], f) for f in films
         )
 
-    sharded = shard_map(
-        shard_body,
-        mesh=mesh,
-        in_specs=(P(), P("d"), P("d"), P()),
-        out_specs=P("d"),
-        check_rep=False,
-    )
+    pass_fns: dict = {}
 
-    @jax.jit
-    def one_pass(arrays, films_stack, sample_idx):
-        pix = jnp.arange(npix, dtype=jnp.uint32)
-        return sharded(arrays, films_stack, pix, sample_idx)
+    def get_pass(chunk):
+        if chunk not in pass_fns:
+            sharded = shard_map(
+                partial(shard_body, chunk=chunk),
+                mesh=mesh,
+                in_specs=(P(), P("d"), P(), P()),
+                out_specs=P("d"),
+                check_rep=False,
+            )
+            pass_fns[chunk] = jax.jit(
+                lambda arrays, fs, base, s, _f=sharded: _f(arrays, fs, base, s),
+                donate_argnums=(1,),
+            )
+        return pass_fns[chunk]
 
     films_stack = _stack_films(ndev, width, height, count=6)
+
+    # adaptive per-device pixel chunking (mirrors gpt.py's watchdog probe;
+    # chunking is bias-free: PSS streams are keyed by absolute pixel+sample)
+    import os
+
+    from ..scene import _on_tpu
+
+    try:
+        budget = float(os.environ.get("AKR_MAX_PASS_SECONDS", "40"))
+    except ValueError:
+        budget = 40.0
+    chunk = per_dev
+    base0 = 0
+    if (
+        _on_tpu()
+        and budget > 0
+        and per_dev > 64 * width // max(ndev, 1)
+        and os.environ.get("AKR_ADAPTIVE_PASS", "1") != "0"
+    ):
+        pc = max(1, 32 * width // ndev)
+        probe = get_pass(pc)
+        films_stack = probe(scene.arrays, films_stack, jnp.uint32(0), jnp.uint32(0))
+        jax.block_until_ready(films_stack)
+        tp = time.time()
+        films_stack = probe(scene.arrays, films_stack, jnp.uint32(pc), jnp.uint32(0))
+        jax.block_until_ready(films_stack)
+        per_px = (time.time() - tp) / pc
+        max_px = max(1, int(budget / max(per_px, 1e-12)))
+        if max_px < per_dev:
+            n = -(-per_dev // max_px)
+            chunk = -(-per_dev // n)
+        base0 = 2 * pc
+
+    from ..stats import RenderStats
+
+    render_stats = RenderStats()
+    stats_series = {"time": [], "spp": []}
+
+    def _recon_current(films_stack):
+        films01 = tuple(_sum_films(films_stack[i]) for i in range(3))
+        p = develop(films01[0], width, height)
+        return screened_poisson(
+            p, develop(films01[1], width, height),
+            develop(films01[2], width, height),
+            None, iters=config.reconstruction_iter,
+        )
+
     for s in range(config.spp):
-        films_stack = one_pass(scene.arrays, films_stack, jnp.uint32(s))
+        base = base0 if s == 0 else 0
+        while base < per_dev:
+            c = min(chunk, per_dev - base)
+            films_stack = get_pass(c)(
+                scene.arrays, films_stack, jnp.uint32(base), jnp.uint32(s)
+            )
+            base += c
         if progress_cb:
             jax.block_until_ready(films_stack)
-            progress_cb(s + 1, config.spp, {"time": [time.time() - t0], "spp": [s + 1]})
+            stats_series["time"].append(time.time() - t0)
+            stats_series["spp"].append(s + 1)
+            progress_cb(s + 1, config.spp, stats_series)
+        if session is not None and session.save_intermediate:
+            from pathlib import Path
+
+            from ..core.image_io import write_image
+
+            jax.block_until_ready(films_stack)
+            ipath = str(Path(session.out_dir) / f"{session.name}-{s + 1}.exr")
+            write_image(ipath, np.asarray(_recon_current(films_stack)))
+            render_stats.record(time.time() - t0, s + 1, ipath)
+        if session is not None and session.display is not None:
+            jax.block_until_ready(films_stack)
+            session.display(np.asarray(_recon_current(films_stack)))
     jax.block_until_ready(films_stack)
 
     films = tuple(_sum_films(f) for f in films_stack)
@@ -453,4 +582,8 @@ def render_gpt_sharded(scene, config, task=None, mesh: Mesh | None = None,
         "devices": ndev,
         "primal": np.asarray(primal),
     }
+    if session is not None:
+        render_stats.record(stats["total_time"], config.spp)
+        if session.save_stats:
+            render_stats.write(session)
     return img, stats
