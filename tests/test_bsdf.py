@@ -44,24 +44,41 @@ def _histogram(wi, valid):
 
 
 def _expected_counts(surface, wo, n_total, sub=8):
-    """Integrate the claimed pdf over each bin with a subgrid midpoint rule."""
-    t_edges = np.linspace(0, np.pi, THETA_BINS * sub + 1)
-    p_edges = np.linspace(0, 2 * np.pi, PHI_BINS * sub + 1)
-    tc = 0.5 * (t_edges[:-1] + t_edges[1:])
-    pc = 0.5 * (p_edges[:-1] + p_edges[1:])
-    T, P = np.meshgrid(tc, pc, indexing="ij")
-    wi = np.stack(
-        [np.sin(T) * np.cos(P), np.sin(T) * np.sin(P), np.cos(T)], -1
-    ).reshape(-1, 3)
-    wo_b = jnp.broadcast_to(jnp.asarray(wo, jnp.float32), (wi.shape[0], 3))
-    _, pdf = surface.evaluate(wo_b, jnp.asarray(wi, jnp.float32))
-    pdf = np.asarray(pdf).reshape(THETA_BINS * sub, PHI_BINS * sub)
-    dt = np.pi / (THETA_BINS * sub)
-    dp = 2 * np.pi / (PHI_BINS * sub)
-    sin_t = np.sin(T).reshape(pdf.shape)
-    cell = pdf * sin_t * dt * dp
-    blocks = cell.reshape(THETA_BINS, sub, PHI_BINS, sub).sum(axis=(1, 3))
-    return blocks * n_total
+    """Integrate the claimed pdf over each bin with tolerance-driven
+    adaptive Simpson — the reference's integrate_pdf protocol
+    (akari_test.rs:70-112: adaptive_simpson_2d per bin, phi outer / theta
+    inner, integrand pdf*sin(theta), eps=1e-6, max_depth=6). `sub` scales
+    the refinement depth for sharp lobes (kept for call compatibility)."""
+    from akari_render_tpu.core.integration import adaptive_simpson_2d_batch
+
+    t_h = np.pi / THETA_BINS
+    p_h = 2 * np.pi / PHI_BINS
+    ti, pi_ = np.meshgrid(np.arange(THETA_BINS), np.arange(PHI_BINS),
+                          indexing="ij")
+    ti = ti.ravel()
+    pi_ = pi_.ravel()
+
+    def pdf_sin(phis, thetas, owners):
+        wi = np.stack(
+            [
+                np.sin(thetas) * np.cos(phis),
+                np.sin(thetas) * np.sin(phis),
+                np.cos(thetas),
+            ],
+            -1,
+        )
+        wo_b = jnp.broadcast_to(jnp.asarray(wo, jnp.float32), (wi.shape[0], 3))
+        _, pdf = surface.evaluate(wo_b, jnp.asarray(wi, jnp.float32))
+        return np.asarray(pdf, np.float64) * np.sin(thetas)
+
+    depth = 6 + (3 if sub > 8 else 0)
+    mass = adaptive_simpson_2d_batch(
+        pdf_sin,
+        pi_ * p_h, (pi_ + 1) * p_h,  # phi outer
+        ti * t_h, (ti + 1) * t_h,  # theta inner
+        eps=1e-6, max_depth=depth,
+    )
+    return mass.reshape(THETA_BINS, PHI_BINS) * n_total
 
 
 def _chi2_threshold(dof, alpha=1e-3):

@@ -378,3 +378,47 @@ class TestPmj02:
 
         img, _ = render_pt(sc, PTConfig(spp=4, max_depth=3, spp_per_pass=4), task=T())
         assert np.isfinite(img).all() and img.mean() > 0.01
+
+
+class TestAdaptiveSimpson:
+    """Port check of util/integration.rs adaptive Simpson (batched)."""
+
+    def test_polynomial_exact(self):
+        import numpy as np
+
+        from akari_render_tpu.core.integration import adaptive_simpson_batch
+
+        # Simpson is exact for cubics; adaptivity must not break that
+        res = adaptive_simpson_batch(
+            lambda x, o: x**3 - 2 * x**2 + 4, np.array([0.0, -1.0]),
+            np.array([2.0, 3.0]),
+        )
+        np.testing.assert_allclose(res[0], 2**4 / 4 - 2 * 2**3 / 3 + 8)
+        np.testing.assert_allclose(res[1], (81 - 1) / 4 - 2 * (27 + 1) / 3 + 16)
+
+    def test_sharp_peak_converges(self):
+        import numpy as np
+
+        from akari_render_tpu.core.integration import (
+            adaptive_simpson_batch,
+            adaptive_simpson_2d_batch,
+        )
+
+        # narrow gaussian: fixed-grid midpoint at the reference's bin count
+        # misses mass; the adaptive rule recovers it to tolerance
+        s = 0.02
+        res = adaptive_simpson_batch(
+            lambda x, o: np.exp(-((x - 0.5) ** 2) / (2 * s * s)),
+            np.array([0.0]), np.array([1.0]), eps=1e-8, max_depth=20,
+        )
+        np.testing.assert_allclose(res[0], s * np.sqrt(2 * np.pi), rtol=1e-5)
+
+        # separable 2d over two rectangles
+        res2 = adaptive_simpson_2d_batch(
+            lambda x, y, o: np.sin(x) * np.cos(y),
+            np.array([0.0, 0.0]), np.array([np.pi, np.pi / 2]),
+            np.array([0.0, 0.0]), np.array([np.pi / 2, np.pi / 2]),
+            eps=1e-8, max_depth=20,
+        )
+        np.testing.assert_allclose(res2[0], 2.0 * 1.0, rtol=1e-5)
+        np.testing.assert_allclose(res2[1], 1.0 * 1.0, rtol=1e-5)
