@@ -22,7 +22,11 @@ import time
 
 
 def _measure(scene, res_w, res_h, spp, max_depth):
-    """One warm pass + one timed pass; returns (Mpaths/s, seconds)."""
+    """One warm pass + one timed pass; returns (Mpaths/s, seconds, cost)
+    where cost is XLA's cost_analysis() of the compiled pass executable
+    ({'flops', 'bytes accessed', ...}) or None if the backend can't report
+    it — the numerator for MEASURED (compiled-HLO counts / wall-clock)
+    utilization, as opposed to the hand FLOP model below."""
     import jax
     import jax.numpy as jnp
 
@@ -39,13 +43,23 @@ def _measure(scene, res_w, res_h, spp, max_depth):
     film = one_pass(scene.arrays, film, jnp.uint32(0))  # compile + warm
     jax.block_until_ready(film)
 
+    cost = None
+    try:
+        compiled = one_pass.lower(
+            scene.arrays, Film.new(res_w, res_h), jnp.uint32(0)
+        ).compile()
+        ca = compiled.cost_analysis()
+        cost = ca[0] if isinstance(ca, (list, tuple)) else ca
+    except Exception:
+        pass
+
     film2 = Film.new(res_w, res_h)
     t0 = time.time()
     film2 = one_pass(scene.arrays, film2, jnp.uint32(spp))
     jax.block_until_ready(film2)
     dt = time.time() - t0
     paths = res_w * res_h * spp
-    return paths / dt / 1e6, dt
+    return paths / dt / 1e6, dt, cost
 
 
 def _flops_per_path(scene, max_depth):
@@ -88,7 +102,7 @@ def main():
     max_depth = 12  # reference pt.json config
 
     scene = load_scene(scene_path, width=res, height=res)
-    mpaths_s, dt = _measure(scene, res, res, spp, max_depth)
+    mpaths_s, dt, cost = _measure(scene, res, res, spp, max_depth)
 
     detail = {
         "res": res,
@@ -102,9 +116,29 @@ def main():
     # over an approximate v5e f32 VPU peak (~19.6 TFLOP/s; the MXU bf16 peak
     # of 197 TFLOP/s is not reachable by slab/MT elementwise math)
     VPU_PEAK_F32 = 19.6e12
+    HBM_PEAK = 819e9  # v5e HBM bandwidth, bytes/s
     est_flops = _flops_per_path(scene, max_depth) * mpaths_s * 1e6
     detail["est_intersect_tflops"] = round(est_flops / 1e12, 3)
     detail["est_vpu_util"] = round(est_flops / VPU_PEAK_F32, 4)
+
+    # MEASURED utilization (VERDICT r2 item 3): XLA cost_analysis of the
+    # compiled pass (actual HLO flop/byte counts) / measured wall-clock.
+    # States which roofline (VPU flops vs HBM bytes) the render sits on.
+    if cost:
+        fl = float(cost.get("flops", 0.0))
+        by = float(cost.get("bytes accessed", 0.0))
+        if fl > 0 or by > 0:
+            vu = fl / dt / VPU_PEAK_F32
+            hu = by / dt / HBM_PEAK
+            detail["measured"] = {
+                "hlo_gflops_per_pass": round(fl / 1e9, 2),
+                "hlo_gbytes_per_pass": round(by / 1e9, 2),
+                "tflops_s": round(fl / dt / 1e12, 3),
+                "hbm_gbs": round(by / dt / 1e9, 1),
+                "vpu_util": round(vu, 4),
+                "hbm_util": round(hu, 4),
+                "bound": "hbm" if hu > vu else "vpu",
+            }
 
     # classroom-class second workload (1920x1080, BASELINE.md north star)
     classroom = os.path.join(os.path.dirname(__file__), "scenes/classroom/scene.json")
@@ -112,7 +146,7 @@ def main():
         try:
             spp_c = int(os.environ.get("BENCH_CLASSROOM_SPP", "1"))
             sc = load_scene(classroom)  # native 1920x1080 camera
-            mp_c, dt_c = _measure(sc, sc.camera.width, sc.camera.height, spp_c, max_depth)
+            mp_c, dt_c, cost_c = _measure(sc, sc.camera.width, sc.camera.height, spp_c, max_depth)
             est_c = _flops_per_path(sc, max_depth) * mp_c * 1e6
             detail["classroom"] = {
                 "mpaths_s": round(mp_c, 3),
@@ -122,6 +156,19 @@ def main():
                 "est_vpu_util": round(est_c / VPU_PEAK_F32, 4),
                 "secs_to_1024spp": round(dt_c / spp_c * 1024, 1),
             }
+            if cost_c:
+                fl = float(cost_c.get("flops", 0.0))
+                by = float(cost_c.get("bytes accessed", 0.0))
+                if fl > 0 or by > 0:
+                    vu = fl / dt_c / VPU_PEAK_F32
+                    hu = by / dt_c / HBM_PEAK
+                    detail["classroom"]["measured"] = {
+                        "tflops_s": round(fl / dt_c / 1e12, 3),
+                        "hbm_gbs": round(by / dt_c / 1e9, 1),
+                        "vpu_util": round(vu, 4),
+                        "hbm_util": round(hu, 4),
+                        "bound": "hbm" if hu > vu else "vpu",
+                    }
         except Exception as e:  # classroom failure must not kill the metric
             detail["classroom"] = {"error": str(e)[:200]}
 

@@ -422,3 +422,25 @@ class TestAdaptiveSimpson:
         )
         np.testing.assert_allclose(res2[0], 2.0 * 1.0, rtol=1e-5)
         np.testing.assert_allclose(res2[1], 1.0 * 1.0, rtol=1e-5)
+
+
+def test_dielectric_ior_presets_match_reference_table():
+    """core/ior.py vs the reference's sampled BK7 dispersion table
+    (crates/akari_data/src/ior.rs GLASS_BK7_ETA): our Sellmeier evaluation
+    must reproduce the reference's (nm, eta) samples — same Schott source
+    data — plus handbook sanity values for the other presets."""
+    from akari_render_tpu.core.ior import PRESETS, eta, eta_table
+
+    ref_pairs = [(300.0, 1.5527702635739), (520.0, 1.5201596882463),
+                 (630.0, 1.5151856452759), (916.0, 1.5087426727363)]
+    for nm, ref in ref_pairs:
+        np.testing.assert_allclose(float(eta("bk7", nm)), ref, atol=1e-6)
+    # handbook d-line (587.6 nm) values
+    np.testing.assert_allclose(float(eta("bk7", 587.6)), 1.5168, atol=2e-4)
+    np.testing.assert_allclose(float(eta("fused_silica", 589.0)), 1.4584,
+                               atol=2e-4)
+    np.testing.assert_allclose(float(eta("diamond", 589.0)), 2.417, atol=2e-3)
+    np.testing.assert_allclose(float(eta("water", 589.0)), 1.333, atol=3e-3)
+    tab = eta_table("bk7")
+    assert tab.shape == (58,) and tab[0] == 300.0  # reference layout
+    assert all(float(eta(p, 550.0)) > 1.0 for p in PRESETS)

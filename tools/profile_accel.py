@@ -13,10 +13,13 @@ Usage: python tools/profile_accel.py [--tris 2000000] [--rays 131072]
 from __future__ import annotations
 
 import argparse
-import functools
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def timed(fn, *args, reps=3):
