@@ -175,3 +175,46 @@ def test_gpt_sorted_dispatch_matches_masked():
             os.environ["AKR_SORT_DISPATCH"] = old
     np.testing.assert_allclose(img_s, img_m, rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(gx_s, gx_m, rtol=2e-4, atol=3e-5)
+
+
+def test_glossy_shift_mode_record():
+    """The recorded equal-budget shift-mode A/B (BENCH_MSE_GLOSSY.json,
+    produced with tools/benchmark_mse.py budgets on TPU) must exist and its
+    numbers must satisfy the documented relationships: on the ALL-glossy
+    fixture primary-sample-space replay beats reconnection at every
+    threshold (reconnecting across narrow lobes multiplies spiky f/pdf
+    ratios into the jacobian — the reason ref pt.rs:328-900 gates
+    reconnection on endpoint roughness at all), and raising the threshold
+    (fewer reconnections, more one-sided gradients) must not help."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "BENCH_MSE_GLOSSY.json")
+    rec = json.loads(open(path).read())
+    rc = rec["mse"]["reconnect"]
+    ps = rec["mse"]["pss"]["any_threshold"]
+    assert 0 < ps < min(rc.values())  # pss wins on the glossy fixture
+    assert rc["min_roughness=0.4"] >= rc["min_roughness=0.1"]
+    cb = rec["cbox"]["mse"]
+    if cb["reconnect"] is not None:  # diffuse receivers: reconnect must win
+        assert cb["reconnect"] < cb["pss"], cb
+
+
+def test_gpt_shift_modes_finite_on_glossy():
+    """Both shift modes render the glossy fixture (rough-metal balls +
+    glossy floor/wall) to finite, lit images at a smoke budget — the
+    executed-coverage companion of the recorded A/B above."""
+    import os
+
+    from akari_render_tpu.integrators.gpt import render_gpt
+
+    scene_path = os.path.join(
+        os.path.dirname(__file__), "..", "scenes", "glossy", "scene.json"
+    )
+    scene = load_scene(scene_path, width=32, height=32)
+    cfg = dict(spp=2, max_depth=3, shift_mapping_min_roughness=0.2)
+    for mode in ("reconnect", "pss"):
+        img, _ = render_gpt(scene, GPTConfig(**cfg), shift_mode=mode)
+        assert np.isfinite(img).all(), mode
+        assert float(np.mean(img)) > 0.01, mode

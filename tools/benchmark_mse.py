@@ -31,8 +31,10 @@ def main():
     ap.add_argument("--methods", nargs="+", default=["pt", "gpt", "mcmc"])
     ap.add_argument(
         "--gpt-min-roughness", type=float, default=0.2,
-        help="reconnection roughness criterion (raise to ~0.4 on glossy "
-             "scenes so enough vertices qualify)",
+        help="reconnection roughness criterion: a vertex pair reconnects "
+             "only when BOTH endpoint roughnesses are >= this, so LOWER it "
+             "(e.g. 0.1) on glossy scenes or almost no vertex qualifies and "
+             "the shift degenerates to discarded half-vector replays",
     )
     args = ap.parse_args()
 
