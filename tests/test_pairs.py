@@ -98,3 +98,49 @@ def test_single_round_matches_multi_round(soup, clusters, rays):
     many = intersect_pairs(clusters, o, d, tmin, tmax, interpret=True, maxc=4)
     np.testing.assert_array_equal(np.asarray(one.tri_id), np.asarray(many.tri_id))
     np.testing.assert_allclose(np.asarray(one.t), np.asarray(many.t), rtol=1e-6)
+
+
+def test_refine_kernel_matches_xla_reference():
+    """pairs._refine (fused Pallas window refinement) must reproduce the
+    exact any-lane-pass mask of the former XLA [B, BLOCK, W] formulation,
+    including tmin/t1 clamps and dead lanes (t1 = -1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from akari_render_tpu.accel.pairs import BLOCK, _refine
+
+    rng = np.random.default_rng(5)
+    B, W = 3, 256
+    n = B * BLOCK
+    o = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    inv = 1.0 / d
+    lo = rng.uniform(-3, 2, (B, W, 3)).astype(np.float32)
+    hi = lo + rng.uniform(0, 2, (B, W, 3)).astype(np.float32)
+    tmin = np.zeros(n, np.float32)
+    t1 = rng.uniform(0.1, 5.0, n).astype(np.float32)
+    t1[::7] = -1.0  # dead lanes never pass
+
+    # XLA reference
+    ob = o.reshape(B, BLOCK, 3)
+    ib = inv.reshape(B, BLOCK, 3)
+    near = np.full((B, BLOCK, W), -np.inf, np.float32)
+    far = np.full((B, BLOCK, W), np.inf, np.float32)
+    for a in range(3):
+        t0x = (lo[:, None, :, a] - ob[..., a][:, :, None]) * ib[..., a][:, :, None]
+        t1x = (hi[:, None, :, a] - ob[..., a][:, :, None]) * ib[..., a][:, :, None]
+        near = np.maximum(near, np.minimum(t0x, t1x))
+        far = np.minimum(far, np.maximum(t0x, t1x))
+    near = np.maximum(near, tmin.reshape(B, BLOCK)[..., None])
+    far = np.minimum(far, t1.reshape(B, BLOCK)[..., None])
+    want = (near <= far).any(axis=1)
+
+    wb = jnp.asarray(
+        np.concatenate([lo, hi], axis=-1).transpose(0, 2, 1)
+    )  # [B, 6, W]
+    got = _refine(
+        wb, jnp.asarray(o.T), jnp.asarray(inv.T),
+        jnp.stack([jnp.asarray(tmin), jnp.asarray(t1)]), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got) > 0, want)
