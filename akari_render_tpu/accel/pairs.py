@@ -44,7 +44,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.math import RAY_TMAX
 
-BLOCK = 512  # rays per sorted block (VMEM-resident in the sweep)
+import os as _os
+
+BLOCK = int(_os.environ.get("AKR_BLOCK", "512"))  # rays per sorted block
+# (VMEM-resident in the sweep); import-time env override for experiments —
+# smaller blocks shrink each block's candidate union (less wasted MT per
+# ray) at the cost of more sweep grid steps
 MAXC = 64  # candidate clusters swept per block per round
 WINDOW_MULT = 16  # conservative candidates examined per swept candidate:
 # each round walks a WINDOW = MAXC*WINDOW_MULT slice of the block's
@@ -76,15 +81,17 @@ def _morton_keys(o, d, lo, hi):
     return (octant << 27) | m
 
 
-def _block_entries(cbmin, cbmax, olo, ohi, ilo, ihi, bt0, bt1):
-    """Conservative slab entries of every (block, cluster): [B, K].
+def _block_entries_raw(cbmin, cbmax, olo, ohi, ilo, ihi, bt0):
+    """Conservative slab entry/exit of every (block, cluster): two [B, K].
 
     Interval arithmetic per axis: numerator n = b - o over the block's origin
     box, times the block's inv-direction interval (sign-straddling blocks
     simply produce huge intervals — still conservative-correct, never a
-    missed hit). entry = max_axis lower(near), exit = min_axis upper(far),
-    clamped by the block's [min tmin, max t-limit]. +inf where the
-    conservative test already rejects.
+    missed hit). entry = max_axis lower(near) clamped by the block's min
+    tmin; exit = min_axis upper(far). The pair is computed ONCE per
+    intersect — each round then applies its shrinking horizon bt1 with one
+    cheap masked compare instead of re-running the 36-pass interval math
+    (round-3 profile: the per-round cull was ~38 ms of a ~190 ms round).
     """
     INF = jnp.inf
     entry = jnp.full((olo.shape[0], cbmin.shape[0]), -INF)
@@ -109,9 +116,74 @@ def _block_entries(cbmin, cbmax, olo, ohi, ilo, ihi, bt0, bt1):
         far_hi = jnp.maximum(t0hi, t1hi)
         entry = jnp.maximum(entry, near_lo)
         exit_ = jnp.minimum(exit_, far_hi)
-    entry = jnp.maximum(entry, bt0[:, None])
+    return jnp.maximum(entry, bt0[:, None]), exit_
+
+
+def _block_entries(cbmin, cbmax, olo, ohi, ilo, ihi, bt0, bt1):
+    """Single-round form of _block_entries_raw (kept for the profiler and
+    A/B): +inf where the conservative test rejects within [bt0, bt1]."""
+    entry, exit_ = _block_entries_raw(cbmin, cbmax, olo, ohi, ilo, ihi, bt0)
     exit_ = jnp.minimum(exit_, bt1[:, None])
-    return jnp.where(entry <= exit_, entry, INF)
+    return jnp.where(entry <= exit_, entry, jnp.inf)
+
+
+def _refine_kernel(wb_ref, o_ref, i_ref, lim_ref, out_ref):
+    """Per-ray slab refinement for one (block, W-chunk): does ANY live lane's
+    [tmin, t1] slab interval overlap candidate w? out [1, WCH] int32.
+
+    Fuses the former XLA [B, BLOCK, W] refinement (near/far temps in HBM,
+    ~30 ms/round) into VMEM: reads are the ray block SoA + gathered candidate
+    bounds, the [BLOCK, WCH] temporaries never leave the core.
+    """
+    wch = out_ref.shape[1]
+    near = jnp.full((o_ref.shape[1], wch), -jnp.inf)
+    far = jnp.full((o_ref.shape[1], wch), jnp.inf)
+    for a in range(3):
+        bmin = wb_ref[0, a, :][None, :]  # [1, WCH] (W minor = lane axis)
+        bmax = wb_ref[0, 3 + a, :][None, :]
+        oa = o_ref[a, :][:, None]  # [BLOCK, 1]
+        ia = i_ref[a, :][:, None]
+        t0 = (bmin - oa) * ia
+        t1 = (bmax - oa) * ia
+        near = jnp.maximum(near, jnp.minimum(t0, t1))
+        far = jnp.minimum(far, jnp.maximum(t0, t1))
+    near = jnp.maximum(near, lim_ref[0, :][:, None])
+    far = jnp.minimum(far, lim_ref[1, :][:, None])
+    out_ref[:] = jnp.any(near <= far, axis=0).astype(jnp.int32)[None, :]
+
+
+_REFINE_WCH = 256  # W-chunk per refine grid step ([BLOCK, WCH] VMEM temps)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _refine(wb, o_soa, i_soa, lim, interpret=False):
+    """Pallas fused per-ray window refinement.
+
+    wb: [B, 6, W] gathered candidate bounds (bminx|bminy|bminz|bmax...) with
+    W minor (the VPU lane axis); o_soa/i_soa: [3, N] sorted ray origins /
+    inverse directions; lim: [2, N] per-lane [tmin, t1] (t1 = current best,
+    or -inf for occluded any-hit lanes). Returns [B, W] int32 any-lane-pass.
+    """
+    B, _, W = wb.shape
+    wch = min(_REFINE_WCH, W)
+    assert W % wch == 0
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B, W // wch),
+        in_specs=[
+            pl.BlockSpec((1, 6, wch), lambda b, w: (b, 0, w), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BLOCK), lambda b, w: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BLOCK), lambda b, w: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, BLOCK), lambda b, w: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, wch), lambda b, w: (b, w), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _refine_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, W), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(wb, o_soa, i_soa, lim)
 
 
 def _sweep_kernel(tri_ix_ref, xf_ix_ref, o_ref, d_ref, lim_ref, ex_ref,
@@ -220,6 +292,68 @@ def mt_block_update(tri, x, o_ref, d_ref, lim_ref, ex_ref, out_ref, *,
             out_ref[1, :] = jnp.where(better, g_sel, best_id)
             out_ref[2, :] = jnp.where(better, u_sel, best_u)
             out_ref[3, :] = jnp.where(better, v_sel, best_v)
+
+
+def _sweep_ent_kernel(tri_ix_ref, xf_ix_ref, o_ref, d_ref, lim_ref, ex_ref,
+                      cent_ref, tri_ref, xf_ref, best_in_ref, out_ref, *,
+                      any_hit, dummy_row):
+    """_sweep_kernel + an in-kernel horizon early-out: the candidate's
+    conservative entry distance is checked against the CURRENT block horizon
+    (max live best-t), so candidates made obsolete by earlier hits in the
+    same sweep are skipped without compute (their prefetch is pipelined
+    anyway). Shared by the pair sweep and the wide-BVH walk's sweep."""
+    m = pl.program_id(1)
+
+    @pl.when(m == 0)
+    def _init():
+        out_ref[:] = best_in_ref[:]
+
+    b = pl.program_id(0)
+    if any_hit:
+        t1 = jnp.where(out_ref[1:2, :] >= 0.0, jnp.float32(-3e38),
+                       lim_ref[1:2, :])
+    else:
+        t1 = out_ref[0:1, :]
+    horizon = jnp.max(t1)
+    valid = (tri_ix_ref[b, m] < dummy_row) & (cent_ref[0, 0, m] <= horizon)
+
+    @pl.when(valid)
+    def _test():
+        mt_block_update(tri_ref[0], xf_ref[0], o_ref, d_ref, lim_ref, ex_ref,
+                        out_ref, any_hit=any_hit)
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
+def _sweep_ent(tri_ix, xf_ix, o_soa, d_soa, lim, ex, cent, tri, xf_tab,
+               best_in, any_hit, interpret=False):
+    B = tri_ix.shape[0]
+    n = o_soa.shape[1]
+    c_size = tri.shape[1]
+    dummy_row = tri.shape[0] - 1
+    maxc = tri_ix.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # tri_ix [B, MAXC], xf_ix [B, MAXC]
+        grid=(B, maxc),
+        in_specs=[
+            pl.BlockSpec((3, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, maxc), lambda b, m, c, x: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, c_size, 12), lambda b, m, c, x: (c[b, m], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 16), lambda b, m, c, x: (x[b, m], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, BLOCK), lambda b, m, c, x: (0, b),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_sweep_ent_kernel, any_hit=any_hit,
+                          dummy_row=dummy_row),
+        out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tri_ix, xf_ix, o_soa, d_soa, lim, ex, cent, tri, xf_tab, best_in)
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
@@ -332,14 +466,23 @@ def intersect_pairs(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
 
     maxc_eff = min(maxc, K)
     W = min(maxc_eff * WINDOW_MULT, K)
+    wch = min(_REFINE_WCH, W)
+    W_pad = ((W + wch - 1) // wch) * wch
     rowsB = jnp.arange(B)
     posW = jnp.arange(W, dtype=jnp.int32)
+    inv_soa = inv_d.T  # [3, n_pad] for the Pallas refine
+    # conservative entry/exit once; rounds only re-apply the horizon
+    ent_raw, exit_raw = _block_entries_raw(
+        cl.cbmin, cl.cbmax, olo, ohi, ilo, ihi, bt0
+    )
+    ids_row = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :],
+                               ent_raw.shape)
 
     def round_body(carry):
         thresh_e, thresh_id, best, live = carry
         bt1 = block_lim(best)
-        e = _block_entries(cl.cbmin, cl.cbmax, olo, ohi, ilo, ihi, bt0, bt1)
-        ids_row = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], e.shape)
+        e = jnp.where(ent_raw <= jnp.minimum(exit_raw, bt1[:, None]),
+                      ent_raw, INF)
         after = (e > thresh_e[:, None]) | (
             (e == thresh_e[:, None]) & (ids_row > thresh_id[:, None])
         )
@@ -350,25 +493,24 @@ def intersect_pairs(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
         win_e = -neg
         win_i = win_i.astype(jnp.int32)
 
-        # per-ray slab refinement: [B, BLOCK, W]
-        wbmin = cl.cbmin[win_i]  # [B, W, 3]
-        wbmax = cl.cbmax[win_i]
-        near = jnp.full((B, BLOCK, W), -INF)
-        far = jnp.full((B, BLOCK, W), INF)
-        for a in range(3):
-            t0 = (wbmin[..., a][:, None, :] - ob[..., a][:, :, None]) * ib[..., a][:, :, None]
-            t1 = (wbmax[..., a][:, None, :] - ob[..., a][:, :, None]) * ib[..., a][:, :, None]
-            near = jnp.maximum(near, jnp.minimum(t0, t1))
-            far = jnp.minimum(far, jnp.maximum(t0, t1))
-        lane_t0 = tmins.reshape(B, BLOCK)
-        lane_t1 = best[0].reshape(B, BLOCK)
+        # per-ray slab refinement (Pallas, [BLOCK, wch] VMEM temps): which
+        # window members can ANY live lane hit within [tmin, best_t]?
+        # [B, 6, W]: W minor = the VPU lane axis inside the kernel
+        wb = jnp.concatenate(
+            [cl.cbmin[win_i], cl.cbmax[win_i]], axis=-1
+        ).transpose(0, 2, 1)
+        if W_pad != W:  # pad with never-pass boxes (min=+inf, max=-inf)
+            fill = jnp.broadcast_to(
+                jnp.array([INF] * 3 + [-INF] * 3, jnp.float32)[None, :, None],
+                (B, 6, W_pad - W),
+            )
+            wb = jnp.concatenate([wb, fill], axis=2)
+        lane_t1 = best[0]
         if any_hit:
-            lane_t1 = jnp.where(best[1].reshape(B, BLOCK) >= 0.0, -INF, lane_t1)
-        pass_ray = (
-            jnp.maximum(near, lane_t0[..., None])
-            <= jnp.minimum(far, lane_t1[..., None])
-        )
-        nonzero = jnp.any(pass_ray, axis=1) & jnp.isfinite(win_e)  # [B, W]
+            lane_t1 = jnp.where(best[1] >= 0.0, -INF, lane_t1)
+        passed = _refine(wb, o_soa, inv_soa, jnp.stack([tmins, lane_t1]),
+                         interpret)
+        nonzero = (passed[:, :W] > 0) & jnp.isfinite(win_e)  # [B, W]
 
         # walk the window in conservative order: sweep the first maxc
         # nonzero-pass members; zero-pass members before the cut are consumed
@@ -392,8 +534,14 @@ def intersect_pairs(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
             xf_ix = jnp.where(cand_ok, cand_i, K).astype(jnp.int32)
         else:
             xf_ix = jnp.zeros_like(tri_ix)
-        out = _sweep(tri_ix, xf_ix, o_soa, d_soa, lim, ex,
-                     tri, xf_tab, best, any_hit, interpret)
+        # per-candidate conservative entry for the sweep's horizon early-out
+        # (ascending within a block: the sweep skips the tail once the block's
+        # best hits are all nearer)
+        cand_e = jnp.where(
+            cand_ok, jnp.take_along_axis(win_e, order, axis=1), jnp.inf
+        )[:, None, :].astype(jnp.float32)
+        out = _sweep_ent(tri_ix, xf_ix, o_soa, d_soa, lim, ex, cand_e,
+                         tri, xf_tab, best, any_hit, interpret)
         new_live = live & jnp.isfinite(thr_e_new) & (thr_e_new < block_lim(out))
         return (
             jnp.where(new_live, thr_e_new, thresh_e),

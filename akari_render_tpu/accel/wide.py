@@ -57,7 +57,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.math import RAY_TMAX
-from .pairs import BLOCK, _morton_keys, mt_block_update
+from .pairs import BLOCK, _morton_keys, _sweep_ent
 
 STACK_DEPTH = 192  # >= 7 * tree_depth + 8; builder asserts
 MAXC_WIDE = 128  # candidates emitted per walk round (sweep minor grid size)
@@ -365,68 +365,6 @@ def _walk(nodes, o_soa, d_soa, lim, best_in, sid, se, srow, sp,
         grid_spec=grid_spec,
         interpret=interpret,
     )(nodes, o_soa, d_soa, lim, best_in, sid, se, srow, sp)
-
-
-# ---------------------------------------------------------------- the sweep
-def _sweep_ent_kernel(tri_ix_ref, xf_ix_ref, o_ref, d_ref, lim_ref, ex_ref,
-                      cent_ref, tri_ref, xf_ref, best_in_ref, out_ref, *,
-                      any_hit, dummy_row):
-    """pairs._sweep_kernel + an in-kernel horizon early-out: the candidate's
-    per-lane-refined entry (from the walk) is checked against the CURRENT
-    block horizon, so candidates made obsolete by earlier hits in the same
-    sweep are skipped without compute (their prefetch is pipelined anyway).
-    """
-    m = pl.program_id(1)
-
-    @pl.when(m == 0)
-    def _init():
-        out_ref[:] = best_in_ref[:]
-
-    b = pl.program_id(0)
-    if any_hit:
-        t1 = jnp.where(out_ref[1:2, :] >= 0.0, _NEG, lim_ref[1:2, :])
-    else:
-        t1 = out_ref[0:1, :]
-    horizon = jnp.max(t1)
-    valid = (tri_ix_ref[b, m] < dummy_row) & (cent_ref[0, 0, m] <= horizon)
-
-    @pl.when(valid)
-    def _test():
-        mt_block_update(tri_ref[0], xf_ref[0], o_ref, d_ref, lim_ref, ex_ref,
-                        out_ref, any_hit=any_hit)
-
-
-@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
-def _sweep_ent(tri_ix, xf_ix, o_soa, d_soa, lim, ex, cent, tri, xf_tab,
-               best_in, any_hit, interpret=False):
-    B = tri_ix.shape[0]
-    n = o_soa.shape[1]
-    c_size = tri.shape[1]
-    dummy_row = tri.shape[0] - 1
-    maxc = tri_ix.shape[1]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # tri_ix [B, MAXC], xf_ix [B, MAXC]
-        grid=(B, maxc),
-        in_specs=[
-            pl.BlockSpec((3, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, maxc), lambda b, m, c, x: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, c_size, 12), lambda b, m, c, x: (c[b, m], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 16), lambda b, m, c, x: (x[b, m], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((4, BLOCK), lambda b, m, c, x: (0, b),
-                               memory_space=pltpu.VMEM),
-    )
-    return pl.pallas_call(
-        functools.partial(_sweep_ent_kernel, any_hit=any_hit,
-                          dummy_row=dummy_row),
-        out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(tri_ix, xf_ix, o_soa, d_soa, lim, ex, cent, tri, xf_tab, best_in)
 
 
 # ---------------------------------------------------------------- driver

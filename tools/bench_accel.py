@@ -135,6 +135,34 @@ def main():
                 f"results match: {same}"
             )
 
+    # DIFFUSE bounce rays (the round-3 target workload): origins on the
+    # surface (analytic heightfield y at random (x, z)), cosine hemisphere
+    # around +y — mostly short hits, sky-escapes exit the shallow AABB
+    o2 = np.stack([
+        rng.uniform(-10, 10, n),
+        np.sin(rng.uniform(-10, 10, n) * 0.0),  # placeholder, filled below
+        rng.uniform(-10, 10, n),
+    ], -1).astype(np.float32)
+    o2[:, 1] = (np.sin(o2[:, 0] * 1.7) * np.cos(o2[:, 2] * 1.3)
+                + 0.3 * np.sin(o2[:, 0] * 7 + o2[:, 2] * 5) + 0.01)
+    r1 = rng.uniform(0, 1, n)
+    phi = 2 * np.pi * rng.uniform(0, 1, n)
+    st = np.sqrt(r1)
+    d2 = np.stack([st * np.cos(phi), np.sqrt(1 - r1), st * np.sin(phi)],
+                  -1).astype(np.float32)
+    o2 = jnp.asarray(o2)
+    d2 = jnp.asarray(d2)
+    f_diff = jax.jit(lambda o, d: intersect_pairs(cl, o, d, tmin, tmax))
+    hit = f_diff(o2, d2)
+    jax.block_until_ready(hit)
+    t0 = time.time()
+    for _ in range(3):
+        hit = f_diff(o2, d2)
+        jax.block_until_ready(hit)
+    dt = (time.time() - t0) / 3
+    print(f"pairs DIFFUSE: {n/dt/1e6:8.3f} Mrays/s  ({dt*1e3:.1f} ms/{n} rays, "
+          f"hit rate {float(hit.valid.mean()):.3f})")
+
 
 if __name__ == "__main__":
     main()

@@ -48,9 +48,10 @@ def main():
     from akari_render_tpu.accel.cluster import build_clusters
     from akari_render_tpu.accel.pairs import (
         BLOCK, MAXC, WINDOW_MULT, _block_entries, _morton_keys, _sweep,
+        _sweep_ent,
     )
     from akari_render_tpu.accel.wide import (
-        MAXC_WIDE, STACK_DEPTH, _sweep_ent, _walk, attach_wide,
+        MAXC_WIDE, STACK_DEPTH, _walk, attach_wide,
     )
 
     rng = np.random.default_rng(0)

@@ -51,6 +51,7 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--configs", nargs="*", default=["128:64", "256:32", "512:16", "512:8", "1024:8"])
     ap.add_argument("--check", action="store_true", help="verify hit equality across configs")
+    ap.add_argument("--diffuse", action="store_true", help="bounce-like rays (surface origins, cosine hemisphere)")
     args = ap.parse_args()
 
     import jax
@@ -79,9 +80,30 @@ def main():
         print(f"bvh build: {time.time()-t0:.1f}s", flush=True)
 
     n = args.rays
-    o = np.full((n, 3), [5.0, 4.0, 5.0], np.float32)
-    d = rng.normal(size=(n, 3)).astype(np.float32)
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    lo = v0.min(axis=0)
+    hi = v0.max(axis=0)
+    if args.diffuse:
+        # bounce-like: origins ON the surface (top-down projection), cosine
+        # hemisphere around +y — mostly hits, sky-escapes exit the shallow
+        # scene AABB quickly (the realistic miss pattern)
+        gx = rng.uniform(lo[0], hi[0], n).astype(np.float32)
+        gz = rng.uniform(lo[2], hi[2], n).astype(np.float32)
+        gy = (np.sin(gx * 1.7) * np.cos(gz * 1.3)).astype(np.float32)
+        o = np.stack([gx, gy + 0.01, gz], -1)
+        r1, r2 = rng.uniform(0, 1, n), rng.uniform(0, 1, n)
+        st = np.sqrt(r1)
+        phi = 2 * np.pi * r2
+        d = np.stack([st * np.cos(phi), np.sqrt(1 - r1), st * np.sin(phi)],
+                     -1).astype(np.float32)
+    else:
+        # primary-like: spread origins above, downward cone (bench_accel.py)
+        o = np.stack([
+            rng.uniform(lo[0], hi[0], n), np.full(n, hi[1] + 3.0),
+            rng.uniform(lo[2], hi[2], n),
+        ], -1).astype(np.float32)
+        d = np.stack([rng.normal(0, 0.25, n), -np.ones(n),
+                      rng.normal(0, 0.25, n)], -1).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
     o = jnp.asarray(o)
     d = jnp.asarray(d)
     tmin = jnp.zeros(n)
@@ -94,8 +116,12 @@ def main():
         cl = build_clusters(v0, e1, e2, order, cluster_size=c_size)
         bt = time.time() - t0
 
+        run_j = jax.jit(
+            lambda o, d: intersect_pairs(cl, o, d, tmin, tmax, maxc=maxc)
+        )
+
         def run():
-            return intersect_pairs(cl, o, d, tmin, tmax, maxc=maxc)
+            return run_j(o, d)
 
         hit = run()
         jax.block_until_ready(hit.t)
