@@ -247,17 +247,27 @@ def make_sampler(config: dict, pixel_ids, sample_index, seed_extra: int = 0):
     """Sampler factory from the reference's sampler JSON
     ({"type": "independent"|"pmj02bn", "seed": n} — SamplerConfig,
     sampler/mod.rs:282-295)."""
+    import os
+
     t = (config or {}).get("type", "independent")
+    if t == "independent" and os.environ.get("AKR_RNG") == "hash":
+        t = "hash"  # stateless counter-based RNG (samplers.HashSampler)
     seed = int((config or {}).get("seed", 0)) ^ seed_extra
     if t == "pmj02bn":
         return Pmj02Sampler.new(pixel_ids, sample_index, seed=seed)
     if t in ("sobol", "lds"):
         return SobolSampler.new(pixel_ids, sample_index, seed=seed)
-    from .pcg import Pcg32, U64
-    from .samplers import IndependentSampler
-
     sample_index = jnp.asarray(sample_index, _U32)
     if jnp.ndim(sample_index) == 0:
         sample_index = jnp.broadcast_to(sample_index, jnp.shape(pixel_ids))
+    if t == "hash":
+        from .samplers import HashSampler, _hash_u64
+
+        key = _hash_u64(sample_index ^ _U32(seed),
+                        jnp.asarray(pixel_ids, _U32))
+        return HashSampler(key, jnp.zeros_like(key))
+    from .pcg import Pcg32, U64
+    from .samplers import IndependentSampler
+
     seq = U64(sample_index ^ _U32(seed), jnp.asarray(pixel_ids, _U32))
     return IndependentSampler(Pcg32.new_seq(seq))
