@@ -1,0 +1,772 @@
+"""Pallas bounce MEGAKERNEL tier: whole paths inside one kernel.
+
+The wavefront integrator (integrators/common.py) is measured HBM-BOUND at
+~2 flops/byte (bench.py cost_analysis): every bounce round-trips hundreds of
+[N]-arrays through HBM between fused XLA kernels, and TPU needs ~24
+flops/byte to reach the compute roofline. This tier is the reference's own
+megakernel architecture (crates/akari_integrator/src/pt.rs:1075-1103 — one
+GPU thread per pixel runs the whole path loop) rebuilt for TPU: one Pallas
+program carries a 1024-lane pixel block through camera generation, ALL
+bounces, NEE and film accumulation with every piece of path state resident
+in VMEM/registers — the only HBM traffic is the triangle/attribute tables
+(read once into VMEM per block) and the final film block.
+
+v1 SCOPE (the round-4 plan in ARCHITECTURE.md widens shading): scenes whose
+shading the kernel can evaluate without dynamic gathers —
+  - brute-force-tier geometry (attr table VMEM-resident, <= 512 tris),
+  - diffuse-only shading: force_diffuse mode (pt.rs:268-280 parity) or
+    every kind statically a constant-reflectance Lambert,
+  - constant emission (scene.arrays.const_emission present), no alpha,
+  - independent/hash sampler, box/gaussian filter.
+Everything else falls back to the wavefront integrator automatically.
+
+Design notes (why it looks like this):
+  - COMPONENT-WISE math throughout ([B]-shaped per-component arrays): a
+    [B, 3] vector op inside Mosaic tiles its minor axis to 128 lanes and
+    wastes 125 of them; the [N, 3] helpers from core/ are deliberately NOT
+    reused.
+  - Per-lane table fetches are one-hot contractions (iota == idx masks +
+    jnp.dot for the [B, 41] attribute row) — the MXU replaces the gather
+    unit, exactly like scene.surface_interaction's small-scene path.
+  - RNG is the stateless counter-based stream of samplers.HashSampler with
+    the SAME key derivation and draw order as the wavefront path under
+    AKR_RNG=hash (camera 2; per bounce: light 3, bsdf 3, rr 1) — so images
+    A/B against render_pt statistically (same estimator, different float
+    association; the shading frame uses the ONB of ns rather than the dpdu
+    tangent frame, which changes no distribution for the isotropic diffuse
+    lobe).
+  - The bounce loop is a lax.while_loop INSIDE the kernel with all-dead
+    early exit; the spp loop is a fori_loop around it; the grid walks pixel
+    blocks. Film is aligned (lane = pixel): out block [5, B] carries
+    RGB + filter-weight sums + an FINITE-guarded accumulator, no scatters.
+"""
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_RAY_TMAX = 1e20  # core.math.RAY_TMAX as a python float (jnp module
+# constants become captured tracers inside a pallas kernel)
+
+BLOCK_MK = 1024
+_HI = jax.lax.Precision.HIGHEST
+
+# offset_ray_origin constants (core/math.py:70-87)
+_ORIGIN = 1.0 / 32.0
+_FLOAT_SCALE = 1.0 / 65536.0
+_INT_SCALE = 256.0
+_INV_PI = float(1.0 / 3.14159265358979323846)
+
+
+# ---------------------------------------------------------------- helpers
+def _u32(x):
+    return jnp.uint32(x)
+
+
+def _hash_u64(hi, lo):
+    """samplers._hash_u64 (splitmix-ish 2x32 mix)."""
+    x = lo ^ (hi * _u32(0x9E3779B9))
+    x ^= x >> 16
+    x *= _u32(0x85EBCA6B)
+    x ^= x >> 13
+    x *= _u32(0xC2B2AE35)
+    x ^= x >> 16
+    return x
+
+
+def _draw(key, ctr):
+    """samplers.HashSampler.next_1d: one uniform from (key, counter)."""
+    x = key ^ (ctr * _u32(0x9E3779B9))
+    x ^= x >> 16
+    x *= _u32(0x21F0AAAD)
+    x ^= x >> 15
+    x *= _u32(0x735A2D97)
+    x ^= x >> 15
+    u = (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    return ctr + _u32(1), u
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _cross3(ax, ay, az, bx, by, bz):
+    return ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
+
+
+def _normalize3(x, y, z):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
+    return x * inv, y * inv, z * inv
+
+
+def _onb(nx, ny, nz):
+    """orthonormal_basis (core/math.py:91-104), component-wise."""
+    sign = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + nz)
+    b = nx * ny * a
+    tx = 1.0 + sign * nx * nx * a
+    ty = sign * b
+    tz = -sign * nx
+    bx = b
+    by = sign + ny * ny * a
+    bz = -ny
+    return (tx, ty, tz), (bx, by, bz)
+
+
+def _offset_ray_origin(px, py, pz, nx, ny, nz):
+    """core/math.py offset_ray_origin, component-wise."""
+
+    def one(p, n):
+        of_i = (_INT_SCALE * n).astype(jnp.int32)
+        ip = jax.lax.bitcast_convert_type(p, jnp.int32)
+        ip_off = ip + jnp.where(p < 0.0, -of_i, of_i)
+        p_i = jax.lax.bitcast_convert_type(ip_off, jnp.float32)
+        return jnp.where(jnp.abs(p) < _ORIGIN, p + _FLOAT_SCALE * n, p_i)
+
+    return one(px, nx), one(py, ny), one(pz, nz)
+
+
+def _onehot(idx, n):
+    """[B] int32 -> [B, n] f32 one-hot (iota compare, no gathers)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n), 1)
+    return (lane == idx[:, None]).astype(jnp.float32)
+
+
+def _gather_row(tab_ref, idx, n_rows):
+    """One-hot contraction: tab [R, C] x idx [B] -> [B, C] (f32 MXU)."""
+    oh = _onehot(idx, n_rows)
+    return jax.lax.dot_general(
+        oh, tab_ref[...], (((1,), (0,)), ((), ())), precision=_HI
+    )
+
+
+def _gather1(row_ref, idx, n):
+    """row [1, R] x idx [B] -> [B] via masked sum (VPU, no matmul)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n), 1)
+    return jnp.sum(
+        jnp.where(lane == idx[:, None], row_ref[0, :][None, :], 0.0), axis=1
+    )
+
+
+# ---------------------------------------------------------------- kernel
+def _mt_sweep(attr_ref, T, ox, oy, oz, dx, dy, dz, tmin, tmax, ex0, ex1,
+              any_hit):
+    """Moller-Trumbore over the whole VMEM tri table: [T, B] outer math.
+
+    Returns (t, tri_id, b0, b1) closest (first-slot ties) or occluded bool.
+    Same formulas/epsilons as accel/trace.py::_chunk_hits."""
+    a_x, a_y, a_z = attr_ref[:, 0:1], attr_ref[:, 1:2], attr_ref[:, 2:3]
+    e1x, e1y, e1z = attr_ref[:, 3:4], attr_ref[:, 4:5], attr_ref[:, 5:6]
+    e2x, e2y, e2z = attr_ref[:, 6:7], attr_ref[:, 7:8], attr_ref[:, 8:9]
+    wdx, wdy, wdz = dx[None, :], dy[None, :], dz[None, :]
+    wox, woy, woz = ox[None, :], oy[None, :], oz[None, :]
+    px = wdy * e2z - wdz * e2y
+    py = wdz * e2x - wdx * e2z
+    pz = wdx * e2y - wdy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tx = wox - a_x
+    ty = woy - a_y
+    tz = woz - a_z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (qx * wdx + qy * wdy + qz * wdz) * inv_det
+    t = (qx * e2x + qy * e2y + qz * e2z) * inv_det
+    rows = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    hit = (
+        (jnp.abs(det) > 1e-12)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > tmin[None, :])
+        & (t < tmax[None, :])
+        & (rows != ex0[None, :])
+        & (rows != ex1[None, :])
+    )
+    if any_hit:
+        return jnp.any(hit, axis=0)
+    t_m = jnp.where(hit, t, jnp.float32(_RAY_TMAX))
+    t_min = jnp.min(t_m, axis=0)
+    is_min = t_m == t_min[None, :]
+    s_min = jnp.min(jnp.where(is_min, rows, jnp.int32(1 << 30)), axis=0)
+    sel = is_min & (rows == s_min[None, :])
+    got = t_min < jnp.float32(_RAY_TMAX)
+    b0 = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
+    b1 = jnp.sum(jnp.where(sel, v, 0.0), axis=0)
+    tri = jnp.where(got, s_min, -1)
+    return t_min, tri, b0, b1, got
+
+
+def _make_kernel(scene, settings, spp_chunk, seed, refl_const, filter_kind,
+                 filter_radius, npix):
+    """Build the kernel body closed over all static scene config."""
+    cam = scene.camera
+    r2c = np.asarray(cam.r2c, np.float64)
+    c2w = np.asarray(cam.c2w, np.float64)
+    width = cam.width
+    T = int(scene.arrays.attr.shape[0])
+    M = int(scene.arrays.const_emission.shape[0])
+    L = int(scene.arrays.lights.sel_prob.shape[0])
+    S = int(scene.arrays.lights.tri_prob.shape[0])
+    max_depth = settings.max_depth
+    rr_depth = settings.rr_depth
+    clamp_ind = settings.clamp_indirect
+    # per-kind constant diffuse reflectance [K0] (force_diffuse: all 0.8)
+    # refl_const: None -> use per-material base_color via param fetch is NOT
+    # in v1; instead refl_const is [M, 3] per-MATERIAL constant reflectance.
+    cam_o = c2w[:3, 3]  # world camera origin (pinhole)
+
+    def kernel(s0_ref, attr_ref, ce_ref, lsel_ref, loff_ref, ltab_ref,
+               refl_ref, out_ref):
+        i = pl.program_id(0)
+        B = BLOCK_MK
+        pix = i * B + jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
+        pix_ok = pix < npix
+        pixf_x = (pix % width).astype(jnp.float32)
+        pixf_y = (pix // width).astype(jnp.float32)
+        s0 = s0_ref[0]
+
+        def one_sample(s, acc):
+            ar, ag, ab, aw = acc
+            sample_idx = (s0 + s).astype(jnp.uint32)
+            key = _hash_u64(sample_idx ^ _u32(seed), pix.astype(jnp.uint32))
+            ctr = jnp.zeros((B,), jnp.uint32)
+
+            # camera sample: 2 dims (filter jitter)
+            ctr, u0 = _draw(key, ctr)
+            ctr, u1 = _draw(key, ctr)
+            if filter_kind == "gaussian":
+                sigma = filter_radius / 3.0
+                r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u0, 1e-10)))
+                th = 2.0 * np.pi * u1
+                offx = jnp.clip(r * jnp.cos(th) * sigma, -filter_radius,
+                                filter_radius)
+                offy = jnp.clip(r * jnp.sin(th) * sigma, -filter_radius,
+                                filter_radius)
+            else:  # box
+                offx = (u0 - 0.5) * filter_radius
+                offy = (u1 - 0.5) * filter_radius
+            fx = pixf_x + 0.5 + offx
+            fy = pixf_y + 0.5 + offy
+            # raster -> camera (z = 0 raster plane), then normalize
+            cx = r2c[0, 0] * fx + r2c[0, 1] * fy + r2c[0, 3]
+            cy = r2c[1, 0] * fx + r2c[1, 1] * fy + r2c[1, 3]
+            cz = r2c[2, 0] * fx + r2c[2, 1] * fy + r2c[2, 3]
+            cx, cy, cz = _normalize3(cx, cy, cz)
+            dx = c2w[0, 0] * cx + c2w[0, 1] * cy + c2w[0, 2] * cz
+            dy = c2w[1, 0] * cx + c2w[1, 1] * cy + c2w[1, 2] * cz
+            dz = c2w[2, 0] * cx + c2w[2, 1] * cy + c2w[2, 2] * cz
+            ox = jnp.full((B,), np.float32(cam_o[0]))
+            oy = jnp.full((B,), np.float32(cam_o[1]))
+            oz = jnp.full((B,), np.float32(cam_o[2]))
+
+            def fetch_si(tri, b0, b1):
+                """Attribute row -> (p, ng, ns, area, mat, light_id,
+                prim_pdf); one one-hot MXU contraction."""
+                rows = _gather_row(attr_ref, jnp.maximum(tri, 0), T)
+                w0 = 1.0 - b0 - b1
+                p_x = rows[:, 0] + rows[:, 3] * b0 + rows[:, 6] * b1
+                p_y = rows[:, 1] + rows[:, 4] * b0 + rows[:, 7] * b1
+                p_z = rows[:, 2] + rows[:, 5] * b0 + rows[:, 8] * b1
+                ngx, ngy, ngz = rows[:, 9], rows[:, 10], rows[:, 11]
+                area = rows[:, 12]
+                nsx = w0 * rows[:, 13] + b0 * rows[:, 16] + b1 * rows[:, 19]
+                nsy = w0 * rows[:, 14] + b0 * rows[:, 17] + b1 * rows[:, 20]
+                nsz = w0 * rows[:, 15] + b0 * rows[:, 18] + b1 * rows[:, 21]
+                nsx, nsy, nsz = _normalize3(nsx, nsy, nsz)
+                mat = rows[:, 38].astype(jnp.int32)
+                light_id = rows[:, 39].astype(jnp.int32)
+                prim_pdf = rows[:, 40]
+                return (p_x, p_y, p_z, ngx, ngy, ngz, nsx, nsy, nsz, area,
+                        mat, light_id, prim_pdf)
+
+            def emission_of(mat):
+                e = _gather_row(ce_ref, mat, M)  # [B, 3]
+                return e[:, 0], e[:, 1], e[:, 2]
+
+            def pdf_direct_of(light_id, prim_pdf, area, ngx, ngy, ngz,
+                              plx, ply, plz, fx_, fy_, fz_):
+                lane = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+                sel = jnp.sum(
+                    jnp.where(lane == jnp.maximum(light_id, 0)[:, None],
+                              lsel_ref[2, :][None, :], 0.0), axis=1)
+                choice = jnp.where(light_id >= 0, sel, 0.0)
+                wix = plx - fx_
+                wiy = ply - fy_
+                wiz = plz - fz_
+                d2 = wix * wix + wiy * wiy + wiz * wiz
+                inv = jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
+                c = jnp.abs(_dot3(ngx, ngy, ngz, wix * inv, wiy * inv,
+                                  wiz * inv))
+                return (prim_pdf / jnp.maximum(area, 1e-20) * d2
+                        / jnp.maximum(c, 1e-6)) * choice
+
+            init = (
+                jnp.int32(0),  # depth
+                ox, oy, oz, dx, dy, dz,
+                jnp.full((B,), -1, jnp.int32),  # exclude
+                jnp.zeros((B,)), jnp.zeros((B,)), jnp.zeros((B,)),  # rad
+                jnp.ones((B,)), jnp.ones((B,)), jnp.ones((B,)),  # beta
+                pix_ok,  # active
+                jnp.zeros((B,)),  # prev_bsdf_pdf
+                jnp.zeros((B,)), jnp.zeros((B,)), jnp.zeros((B,)),  # replay
+                ctr,
+            )
+
+            def bounce_cond(c):
+                return (c[0] < max_depth) & jnp.any(c[14])  # c[14] = active
+
+            def do_emission(depth, rad, beta, tri, got, active, ngx, ngy,
+                            ngz, dxx, dyy, dzz, mat, light_id, prim_pdf,
+                            area, p_x, p_y, p_z, rox, roy, roz, prev_pdf):
+                rr, rg, rb = rad
+                br, bg, bb = beta
+                front = _dot3(ngx, ngy, ngz, dxx, dyy, dzz) < 0.0
+                ok = active & got & (light_id >= 0) & front
+                ler, leg, leb = emission_of(mat)
+                lpdf = pdf_direct_of(light_id, prim_pdf, area, ngx, ngy, ngz,
+                                     p_x, p_y, p_z, rox, roy, roz)
+                a = prev_pdf
+                w = jnp.where(depth == 0, 1.0,
+                              a / jnp.maximum(a + lpdf, 1e-30))
+                rr = rr + jnp.where(ok, br * ler * w, 0.0)
+                rg = rg + jnp.where(ok, bg * leg * w, 0.0)
+                rb = rb + jnp.where(ok, bb * leb * w, 0.0)
+                return rr, rg, rb
+
+            def bounce_body(c):
+                (depth, rox, roy, roz, rdx, rdy, rdz, excl,
+                 rr, rg, rb, br, bg, bb, active, prev_pdf,
+                 rpr, rpg, rpb, ctr) = c
+                tmax = jnp.where(active, jnp.float32(_RAY_TMAX), -1.0)
+                t, tri, b0, b1, got = _mt_sweep(
+                    attr_ref, T, rox, roy, roz, rdx, rdy, rdz,
+                    jnp.zeros((B,)), tmax, excl, jnp.full((B,), -1, jnp.int32),
+                    any_hit=False,
+                )
+                (p_x, p_y, p_z, ngx, ngy, ngz, nsx, nsy, nsz, area, mat,
+                 light_id, prim_pdf) = fetch_si(tri, b0, b1)
+                lane_hit = active & got
+                rr, rg, rb = do_emission(
+                    depth, (rr, rg, rb), (br, bg, bb), tri, got, active,
+                    ngx, ngy, ngz, rdx, rdy, rdz, mat, light_id, prim_pdf,
+                    area, p_x, p_y, p_z, rox, roy, roz, prev_pdf,
+                )
+                first = depth == 0
+                rpr = jnp.where(first, rr, rpr)
+                rpg = jnp.where(first, rg, rpg)
+                rpb = jnp.where(first, rb, rpb)
+                active = lane_hit
+                wox, woy, woz = -rdx, -rdy, -rdz
+
+                # --- NEE (3 dims) ---
+                ctr, ul0 = _draw(key, ctr)
+                ctr, ul1 = _draw(key, ctr)
+                ctr, ul2 = _draw(key, ctr)
+                # light pick (alias over [L])
+                scaled = ul0 * L
+                li0 = jnp.clip(scaled.astype(jnp.int32), 0, L - 1)
+                frac = scaled - li0.astype(jnp.float32)
+                lane_l = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+
+                def selrow(r, idx):
+                    return jnp.sum(jnp.where(lane_l == idx[:, None],
+                                             lsel_ref[r, :][None, :], 0.0),
+                                   axis=1)
+
+                p_own = selrow(0, li0)
+                take = frac < p_own
+                light = jnp.where(
+                    take, li0, selrow(1, li0).astype(jnp.int32))
+                u_rem = jnp.where(
+                    take, frac / jnp.maximum(p_own, 1e-20),
+                    (frac - p_own) / jnp.maximum(1.0 - p_own, 1e-20))
+                choice_pdf = selrow(2, light)
+                base = jnp.sum(jnp.where(lane_l == light[:, None],
+                                         loff_ref[0, :][None, :], 0.0),
+                               axis=1).astype(jnp.int32)
+                cnt = jnp.sum(jnp.where(lane_l == light[:, None],
+                                        loff_ref[1, :][None, :], 0.0),
+                              axis=1).astype(jnp.int32)
+                # triangle alias within [base, base+cnt)
+                u_rem = jnp.clip(u_rem, 0.0, 1.0 - 1e-7)
+                scaled2 = u_rem * cnt.astype(jnp.float32)
+                i2 = jnp.clip(scaled2.astype(jnp.int32), 0, cnt - 1)
+                frac2 = scaled2 - i2.astype(jnp.float32)
+                gi = base + i2
+                lane_s = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+
+                def stab(r, idx):
+                    return jnp.sum(jnp.where(lane_s == idx[:, None],
+                                             ltab_ref[r, :][None, :], 0.0),
+                                   axis=1)
+
+                p2 = stab(0, gi)
+                take2 = frac2 < p2
+                local = jnp.where(take2, i2, stab(1, gi).astype(jnp.int32))
+                lprim_pdf = stab(2, base + local)
+                ltri = stab(3, base + local).astype(jnp.int32)
+                # uniform triangle bary: low-distortion warp
+                # (core/sampling.py::uniform_sample_triangle, sampling.rs:32-44)
+                lt = ul1 < ul2
+                lb0 = jnp.where(lt, ul1 * 0.5, ul1 - ul2 * 0.5)
+                lb1 = jnp.where(lt, ul2 - ul1 * 0.5, ul2 * 0.5)
+                (lpx, lpy, lpz, lngx, lngy, lngz, _, _, _, larea, lmat,
+                 _, _) = fetch_si(ltri, lb0, lb1)
+                # finish_light_sample (lights.py:141-167)
+                wix = lpx - p_x
+                wiy = lpy - p_y
+                wiz = lpz - p_z
+                d2 = wix * wix + wiy * wiy + wiz * wiz
+                dist = jnp.sqrt(jnp.maximum(d2, 1e-30))
+                wix, wiy, wiz = wix / dist, wiy / dist, wiz / dist
+                front_l = _dot3(wix, wiy, wiz, lngx, lngy, lngz) < 0.0
+                ler, leg, leb = emission_of(lmat)
+                lir = jnp.where(front_l, ler, 0.0)
+                lig = jnp.where(front_l, leg, 0.0)
+                lib = jnp.where(front_l, leb, 0.0)
+                cos_l = jnp.abs(_dot3(lngx, lngy, lngz, wix, wiy, wiz))
+                ls_pdf = (lprim_pdf / jnp.maximum(larea, 1e-20) * d2
+                          / jnp.maximum(cos_l, 1e-20)) * choice_pdf
+                light_valid = (active & jnp.isfinite(ls_pdf) & (d2 > 0.0))
+
+                # --- diffuse shade: eval NEE dir + sample new dir (3+ dims)
+                ctr, ub0 = _draw(key, ctr)
+                ctr, ub1 = _draw(key, ctr)
+                ctr, ub2 = _draw(key, ctr)
+                # reflectance (pre-divided by pi) per material
+                rrow = _gather_row(refl_ref, mat, M)
+                ref_r, ref_g, ref_b = rrow[:, 0], rrow[:, 1], rrow[:, 2]
+                # shading frame = ONB(ns)
+                (tx, ty, tz), (bx, by, bz) = _onb(nsx, nsy, nsz)
+
+                def to_local(vx, vy, vz):
+                    return (_dot3(vx, vy, vz, tx, ty, tz),
+                            _dot3(vx, vy, vz, bx, by, bz),
+                            _dot3(vx, vy, vz, nsx, nsy, nsz))
+
+                def leak_ok(vx, vy, vz, wx, wy, wz):
+                    # SurfaceClosure._valid_wo_wi
+                    sgn = lambda x: jnp.where(x > 0.0, 1.0, -1.0)
+                    flip = sgn(_dot3(ngx, ngy, ngz, nsx, nsy, nsz))
+                    a1 = sgn(flip * _dot3(vx, vy, vz, nsx, nsy, nsz)) * sgn(
+                        _dot3(vx, vy, vz, ngx, ngy, ngz)) > 0.0
+                    a2 = sgn(flip * _dot3(wx, wy, wz, nsx, nsy, nsz)) * sgn(
+                        _dot3(wx, wy, wz, ngx, ngy, ngz)) > 0.0
+                    return a1 & a2
+
+                lwo = to_local(wox, woy, woz)
+                lwi = to_local(wix, wiy, wiz)
+                same_nee = lwo[2] * lwi[2] > 0.0
+                ok_nee = same_nee & leak_ok(wox, woy, woz, wix, wiy, wiz)
+                cos_nee = jnp.abs(lwi[2])
+                pdf_l = jnp.where(ok_nee, cos_nee * np.float32(_INV_PI), 0.0)
+                fl_r = jnp.where(ok_nee, ref_r * cos_nee, 0.0)
+                fl_g = jnp.where(ok_nee, ref_g * cos_nee, 0.0)
+                fl_b = jnp.where(ok_nee, ref_b * cos_nee, 0.0)
+                w_nee = ls_pdf / jnp.maximum(ls_pdf + pdf_l, 1e-30)
+                scale = w_nee / jnp.maximum(ls_pdf, 1e-20)
+                dir_r = lir * fl_r * scale
+                dir_g = lig * fl_g * scale
+                dir_b = lib * fl_b * scale
+
+                # cosine hemisphere sample (uses ub1, ub2 like
+                # DiffuseBsdf.sample_wi(u_select=ub0, u_sample=ub1/ub2))
+                rdisk = jnp.sqrt(jnp.maximum(ub1, 0.0))
+                phi = ub2 * (2.0 * np.pi)
+                sx = rdisk * jnp.cos(phi)
+                sy = rdisk * jnp.sin(phi)
+                sz = jnp.sqrt(jnp.maximum(0.0, 1.0 - sx * sx - sy * sy))
+                flip_wi = jnp.where(lwo[2] * sz < 0.0, -1.0, 1.0)
+                sx, sy, sz = sx * flip_wi, sy * flip_wi, sz * flip_wi
+                nwx = sx * tx + sy * bx + sz * nsx
+                nwy = sx * ty + sy * by + sz * nsy
+                nwz = sx * tz + sy * bz + sz * nsz
+                same_s = lwo[2] * sz > 0.0
+                ok_s = same_s & leak_ok(wox, woy, woz, nwx, nwy, nwz)
+                cos_s = jnp.abs(sz)
+                pdf_s = jnp.where(ok_s, cos_s * np.float32(_INV_PI), 0.0)
+                fs_r = jnp.where(ok_s, ref_r * cos_s, 0.0)
+                fs_g = jnp.where(ok_s, ref_g * cos_s, 0.0)
+                fs_b = jnp.where(ok_s, ref_b * cos_s, 0.0)
+
+                # --- shadow ray ---
+                srx, sry, srz = _offset_ray_origin(
+                    p_x, p_y, p_z,
+                    jnp.where(_dot3(ngx, ngy, ngz, wix, wiy, wiz)[...] < 0.0,
+                              -ngx, ngx),
+                    jnp.where(_dot3(ngx, ngy, ngz, wix, wiy, wiz) < 0.0,
+                              -ngy, ngy),
+                    jnp.where(_dot3(ngx, ngy, ngz, wix, wiy, wiz) < 0.0,
+                              -ngz, ngz),
+                )
+                sh_tmax = jnp.where(light_valid, dist * (1.0 - 1e-3), -1.0)
+                occ = _mt_sweep(attr_ref, T, srx, sry, srz, wix, wiy, wiz,
+                                jnp.zeros((B,)), sh_tmax, tri, ltri,
+                                any_hit=True)
+                direct_ok = light_valid & ~occ
+                rr = rr + jnp.where(direct_ok, br * dir_r, 0.0)
+                rg = rg + jnp.where(direct_ok, bg * dir_g, 0.0)
+                rb = rb + jnp.where(direct_ok, bb * dir_b, 0.0)
+
+                # --- continue ---
+                sample_ok = ok_s & (pdf_s > 0.0)
+                active = active & sample_ok
+                thr = jnp.where(active, 1.0 / jnp.maximum(pdf_s, 1e-20), 0.0)
+                br = br * jnp.where(active, fs_r * thr, 1.0)
+                bg = bg * jnp.where(active, fs_g * thr, 1.0)
+                bb = bb * jnp.where(active, fs_b * thr, 1.0)
+
+                # RR (1 dim)
+                ctr, urr = _draw(key, ctr)
+                bmax = jnp.maximum(br, jnp.maximum(bg, bb))
+                cont = jnp.where(depth + 1 > rr_depth,
+                                 jnp.clip(bmax, 0.0, 1.0) * 0.95, 1.0)
+                active = active & (urr < cont)
+                inv_c = 1.0 / jnp.maximum(cont, 1e-20)
+                br, bg, bb = br * inv_c, bg * inv_c, bb * inv_c
+
+                nox, noy, noz = _offset_ray_origin(
+                    p_x, p_y, p_z,
+                    jnp.where(_dot3(ngx, ngy, ngz, nwx, nwy, nwz) < 0.0,
+                              -ngx, ngx),
+                    jnp.where(_dot3(ngx, ngy, ngz, nwx, nwy, nwz) < 0.0,
+                              -ngy, ngy),
+                    jnp.where(_dot3(ngx, ngy, ngz, nwx, nwy, nwz) < 0.0,
+                              -ngz, ngz),
+                )
+                return (depth + 1, nox, noy, noz, nwx, nwy, nwz,
+                        tri, rr, rg, rb, br, bg, bb, active, pdf_s,
+                        rpr, rpg, rpb, ctr)
+
+            st = jax.lax.while_loop(bounce_cond, bounce_body, init)
+            (_, rox, roy, roz, rdx, rdy, rdz, excl, rr, rg, rb,
+             br, bg, bb, active, prev_pdf, rpr, rpg, rpb, ctr) = st
+            # final emission tap (trace_paths.final_emission)
+            tmax = jnp.where(active, jnp.float32(_RAY_TMAX), -1.0)
+            t, tri, b0, b1, got = _mt_sweep(
+                attr_ref, T, rox, roy, roz, rdx, rdy, rdz, jnp.zeros((B,)),
+                tmax, excl, jnp.full((B,), -1, jnp.int32), any_hit=False)
+            (p_x, p_y, p_z, ngx, ngy, ngz, _, _, _, area, mat, light_id,
+             prim_pdf) = fetch_si(tri, b0, b1)
+            rr, rg, rb = do_emission(
+                jnp.int32(max_depth), (rr, rg, rb), (br, bg, bb), tri, got,
+                active, ngx, ngy, ngz, rdx, rdy, rdz, mat, light_id,
+                prim_pdf, area, p_x, p_y, p_z, rox, roy, roz, prev_pdf)
+
+            # clamp_indirect + remove_nan + accumulate (fw == 1 filters)
+            def clamp(tot, base):
+                if clamp_ind > 0.0:
+                    v = base + jnp.minimum(tot - base, clamp_ind)
+                else:
+                    v = tot
+                return jnp.where(jnp.isfinite(v), v, 0.0)
+
+            ar = ar + jnp.where(pix_ok, clamp(rr, rpr), 0.0)
+            ag = ag + jnp.where(pix_ok, clamp(rg, rpg), 0.0)
+            ab = ab + jnp.where(pix_ok, clamp(rb, rpb), 0.0)
+            aw = aw + jnp.where(pix_ok, 1.0, 0.0)
+            return ar, ag, ab, aw
+
+        z = jnp.zeros((BLOCK_MK,))
+        ar, ag, ab, aw = jax.lax.fori_loop(
+            0, spp_chunk, one_sample, (z, z, z, z))
+        out_ref[0, :] = ar
+        out_ref[1, :] = ag
+        out_ref[2, :] = ab
+        out_ref[3, :] = aw
+
+    return kernel
+
+
+# ---------------------------------------------------------------- driver
+def megakernel_eligible(scene, settings, sampler_config, filt) -> bool:
+    """Conservative static predicate for the v1 scope."""
+    from ..core.filters import BoxFilter, GaussianFilter
+
+    a = scene.arrays
+    if a.bvh is not None or a.instanced is not None or a.unified is not None:
+        return False
+    if scene.num_tris == 0 or scene.num_tris > 512:
+        return False
+    if scene.has_alpha or a.const_emission is None:
+        return False
+    if a.lights.num_lights < 1:
+        return False
+    if not isinstance(filt, (BoxFilter, GaussianFilter)):
+        return False
+    t = (sampler_config or {}).get("type", "independent")
+    if t not in ("independent",):
+        return False
+    if settings.indirect_only or not settings.use_nee:
+        return False
+    if not settings.force_diffuse and _diffuse_reflectance(scene) is None:
+        return False
+    return True
+
+
+def _diffuse_reflectance(scene):
+    """[M, 3] constant Lambert reflectance (pre-divided by pi) if EVERY kind
+    is statically a constant-reflectance diffuse BSDF, else None.
+
+    Constancy is by construction (node whitelist: only constant color
+    sources feed the diffuse closure); the VALUES come from evaluating the
+    real closure via dispatch_closure on every material row, so srgb->linear
+    and spectral-uplift conversions match the wavefront path bit-for-bit."""
+    from ..svm.eval import EvalContext, dispatch_closure
+    from ..svm.surface import DiffuseBsdf, SurfaceClosure
+
+    CONST_OPS = {"float", "float3", "float4", "rgb", "uplift", "diffuse",
+                 "output"}
+    for kind in scene.kinds:
+        if any(nd[0] not in CONST_OPS for nd in kind.nodes):
+            return None
+        if kind.nodes[kind.output][0] != "output":
+            return None
+        if kind.nodes[kind.nodes[kind.output][1]][0] != "diffuse":
+            return None
+    M = int(scene.arrays.const_emission.shape[0])
+    refl = np.zeros((M, 3), np.float32)
+    seen = np.zeros((M,), bool)
+    zeros3 = jnp.zeros((M, 3))
+    frame = (zeros3.at[:, 0].set(1.0), zeros3.at[:, 1].set(1.0),
+             zeros3.at[:, 2].set(1.0))
+    for ki, kind in enumerate(scene.kinds):
+        ctx = EvalContext(
+            params=scene.arrays.param_mats[ki],  # one row per material
+            uv=jnp.zeros((M, 2)), p=zeros3, ng=frame[2], frame=frame,
+            textures=scene.atlas,
+            const_ranges=(scene.kind_const_ranges[ki]
+                          if scene.kind_const_ranges is not None else None),
+        )
+        closure = dispatch_closure(kind, ctx, mode="surface")
+        inner = closure.inner if isinstance(closure, SurfaceClosure) else closure
+        if not isinstance(inner, DiffuseBsdf):
+            return None
+        vals = np.asarray(inner.reflectance, np.float32)  # [M, 3], * INV_PI
+        mats_of_kind = np.unique(np.asarray(scene.arrays.tri_mat)[
+            np.asarray(scene.arrays.shader_kind) == ki
+        ])
+        refl[mats_of_kind] = vals[mats_of_kind]
+        seen[mats_of_kind] = True
+    return refl
+
+
+def render_pt_megakernel(scene, config, task=None, progress_cb=None,
+                         session=None):
+    """Megakernel render path; caller must have checked megakernel_eligible.
+
+    Returns (image [H, W, 3] numpy, stats dict) like integrators/pt.py."""
+    from ..core.film import Film, develop
+    from ..core.filters import BoxFilter, GaussianFilter, filter_from_config
+    from ..integrators.common import PTSettings
+
+    width, height = scene.camera.width, scene.camera.height
+    npix = width * height
+    filt = filter_from_config(task.filter_config if task else None)
+    settings = PTSettings(
+        max_depth=config.max_depth, rr_depth=config.rr_depth,
+        use_nee=config.use_nee, indirect_only=config.indirect_only,
+        force_diffuse=config.force_diffuse,
+        clamp_indirect=config.clamp_indirect,
+    )
+    seed = task.seed if task else 0
+    a = scene.arrays
+    M = int(a.const_emission.shape[0])
+    if settings.force_diffuse:
+        refl = np.full((M, 3), 0.8 * _INV_PI, np.float32)
+    else:
+        refl = _diffuse_reflectance(scene)
+        assert refl is not None, "megakernel_eligible not checked"
+    filter_kind = "gaussian" if isinstance(filt, GaussianFilter) else "box"
+    fr = float(filt.radius)
+
+    npad = ((npix + BLOCK_MK - 1) // BLOCK_MK) * BLOCK_MK
+    nb = npad // BLOCK_MK
+    L = int(a.lights.sel_prob.shape[0])
+    S = int(a.lights.tri_prob.shape[0])
+    lsel = jnp.stack([a.lights.sel_prob,
+                      a.lights.sel_alias.astype(jnp.float32),
+                      a.lights.sel_pdf])  # [3, L]
+    loff = jnp.stack([a.lights.offset.astype(jnp.float32),
+                      a.lights.count.astype(jnp.float32)])  # [2, L]
+    ltab = jnp.stack([a.lights.tri_prob,
+                      a.lights.tri_alias.astype(jnp.float32),
+                      a.lights.tri_pdf,
+                      a.lights.tri_ids.astype(jnp.float32)])  # [4, S]
+    refl_j = jnp.asarray(refl)
+
+    import os
+
+    interpret = (
+        os.environ.get("AKR_MEGAKERNEL_INTERPRET") == "1"
+        or jax.devices()[0].platform == "cpu"
+    )
+
+    spp_chunk = min(config.spp, config.spp_per_pass)
+    T = int(a.attr.shape[0])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # s0 (start sample) [1]
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((T, 41), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, 3), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, L), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, L), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, S), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, 3), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, BLOCK_MK), lambda i, s: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+
+    runs: dict = {}
+
+    def get_run(chunk):
+        if chunk not in runs:
+            kernel = _make_kernel(scene, settings, chunk, seed, None,
+                                  filter_kind, fr, npix)
+
+            @jax.jit
+            def run_pass(attr, ce, lsel, loff, ltab, refl_in, s0):
+                return pl.pallas_call(
+                    kernel,
+                    out_shape=jax.ShapeDtypeStruct((4, npad), jnp.float32),
+                    grid_spec=grid_spec,
+                    interpret=interpret,
+                )(s0, attr, ce, lsel, loff, ltab, refl_in)
+
+            runs[chunk] = run_pass
+        return runs[chunk]
+
+    t0 = time.time()
+    acc = np.zeros((4, npad), np.float32)
+    done = 0
+    stats = {"time": [], "spp": []}
+    while done < config.spp:
+        chunk = min(spp_chunk, config.spp - done)
+        out = get_run(chunk)(a.attr, a.const_emission, lsel, loff, ltab,
+                             refl_j, jnp.asarray([done], jnp.int32))
+        acc += np.asarray(out)
+        done += chunk
+        if progress_cb:
+            stats["time"].append(time.time() - t0)
+            stats["spp"].append(done)
+            progress_cb(done, config.spp, stats)
+    stats["total_time"] = time.time() - t0
+    stats["spp_total"] = done
+    film = Film(
+        accum=jnp.asarray(acc[:3, :npix].T),
+        splat=jnp.zeros((npix, 3)),
+        weight=jnp.asarray(acc[3, :npix]),
+    )
+    img = np.asarray(develop(film, width, height))
+    return img, stats

@@ -27,11 +27,17 @@ from .common import PTSettings, trace_paths
 def max_wavefront_lanes(scene: Scene) -> int:
     """Lane cap per traced wavefront so accel intermediates stay in HBM.
 
-    The cluster tiers materialize [lanes, min(K, CULL_CHUNK)] f32 buffers
-    during culling; cap their element count (~1 GB f32 per buffer) so big
-    frames (classroom 1920x1080 = 2.07M pixels) compile — the full-frame
-    dispatch was observed to crash the TPU compile helper. Overridable via
-    AKR_MAX_LANES."""
+    Two regimes (overridable via AKR_MAX_LANES):
+    - pair-sweep routing (TPU default): culling is per 512-ray BLOCK, so
+      the big intermediates are [lanes/512, K] entry/exit matrices — a
+      512x smaller footprint than the per-ray cull. The cap is then set by
+      the per-round top_k over those matrices and the ~60 s relay
+      watchdog, not memory; wider dispatches amortize the per-call fixed
+      costs (ray sort, top_k, dispatch latency) that dominated classroom.
+    - flat cluster rounds (CPU / AKR_PAIRS=0): [lanes, min(K, CULL_CHUNK)]
+      f32 buffers during culling; cap their element count so big frames
+      (classroom 1080p = 2.07M pixels) compile — the full-frame per-ray
+      dispatch crashed the TPU compile helper in round 2."""
     import os
 
     env = os.environ.get("AKR_MAX_LANES")
@@ -49,6 +55,22 @@ def max_wavefront_lanes(scene: Scene) -> int:
         k_eff = max(k_eff, min(int(a.instanced.clusters.cbmin.shape[0]), CULL_CHUNK))
     if k_eff == 0:
         return 1 << 22  # brute/pallas tiers: no [N, K] intermediates
+    from ..scene import _use_pairs
+
+    if _use_pairs():
+        from ..accel.pairs import BLOCK
+
+        k_full = 0
+        if a.bvh is not None:
+            k_full = max(k_full, a.bvh["clusters"].num_clusters)
+        if a.unified is not None:
+            k_full = max(k_full, int(a.unified.cbmin.shape[0]))
+        # [lanes/BLOCK, K] f32 x ~4 live copies <= ~512 MB; the 1M-lane lid
+        # keeps a single pixel-block dispatch (the atomic unit the adaptive
+        # spp sizing cannot subdivide) under the ~60 s relay watchdog
+        budget_elems = 1 << 27
+        cap = (budget_elems // max(k_full, 1)) * BLOCK
+        return max(1 << 16, min(cap, 1 << 20))
     budget_elems = 1 << 26  # 256 MB f32 [lanes, K] buffers; also keeps one
     # block's dispatch under the ~60 s relay watchdog
     return max(1 << 16, budget_elems // k_eff)
@@ -160,6 +182,31 @@ def render_pt(scene: Scene, config: PTConfig, task=None, progress_cb=None,
     reference, which cannot resume renders — SURVEY.md §5)."""
     import os as _os
 
+    if (
+        _os.environ.get("AKR_MEGAKERNEL", "0") == "1"
+        and checkpoint_path is None
+        and (session is None or not session.save_intermediate)
+    ):
+        # experimental Pallas megakernel tier (integrators/megakernel.py):
+        # whole paths in one kernel, VMEM-resident state — v1 scope is
+        # small diffuse/force-diffuse scenes; ineligible scenes fall through
+        from ..core.filters import filter_from_config as _ffc
+        from .megakernel import megakernel_eligible, render_pt_megakernel
+
+        _set = PTSettings(
+            max_depth=config.max_depth, rr_depth=config.rr_depth,
+            use_nee=config.use_nee, indirect_only=config.indirect_only,
+            force_diffuse=config.force_diffuse,
+            clamp_indirect=config.clamp_indirect,
+        )
+        if megakernel_eligible(
+            scene, _set, task.sampler if task else None,
+            _ffc(task.filter_config if task else None),
+        ):
+            return render_pt_megakernel(
+                scene, config, task=task, progress_cb=progress_cb,
+                session=session,
+            )
     if (
         _os.environ.get("AKR_PERSISTENT", "0") == "1"
         and checkpoint_path is None
