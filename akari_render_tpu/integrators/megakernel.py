@@ -154,6 +154,164 @@ def _gather1(row_ref, idx, n):
     )
 
 
+# ------------------------------------------------- shading table (v1.5)
+# Per-material constants for the REDUCED fused-principled closure
+# (svm/principled_fused.py with static_zero >= {transmission, coat}):
+# diffuse + metal + specular-layer lobes. Pure-diffuse kinds are the
+# degenerate rows metallic = 0, spec_col = 0.
+NC_ALBEDO = 16  # knots of the precompute table's cos axis (read_3d is
+# piecewise-linear along cos with exactly these 16 knots, so a per-material
+# cos-LUT baked at the knots reproduces ggx_dielectric_albedo exactly)
+_MT_REFL = 0      # 0:3   base_color / pi
+_MT_ALPHA = 3     # GGX alpha = max(roughness^2, MIN_ALPHA)
+_MT_METAL = 4     # metallic lobe weight
+_MT_SPEC_ETA = 5  # specular layer ior (spec_eta)
+_MT_SPEC_COL = 6  # 6:9   specular_tint * specular_weight (f0)
+_MT_N = 9         # 9:12  conductor fresnel n (artistic from base_color)
+_MT_K = 12        # 12:15 conductor fresnel k
+_MT_LUT = 16      # 16:+NC  spec-layer GGX albedo LUT over cos in [0,1]
+MAT_COLS = _MT_LUT + NC_ALBEDO
+
+
+def _fr_dielectric1(ci, eta):
+    """svm/microfacet.py::fr_dielectric, component-wise [B] scalars."""
+    ci = jnp.clip(ci, -1.0, 1.0)
+    eta = jnp.where(ci > 0.0, eta, 1.0 / eta)
+    ci = jnp.abs(ci)
+    sin2_i = 1.0 - ci * ci
+    sin2_t = sin2_i / jnp.maximum(eta * eta, 1e-12)
+    tir = sin2_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    r_parl = (eta * ci - cos_t) / jnp.maximum(eta * ci + cos_t, 1e-12)
+    r_perp = (ci - eta * cos_t) / jnp.maximum(ci + eta * cos_t, 1e-12)
+    fr = 0.5 * (r_parl * r_parl + r_perp * r_perp)
+    return jnp.where(tir, 1.0, jnp.clip(fr, 0.0, 1.0))
+
+
+def _fr_complex1(ci, n, k):
+    """svm/microfacet.py::fr_complex for ONE channel ([B] n, k): conductor
+    Fresnel via real-pair complex arithmetic, identical guards."""
+    ci = jnp.clip(ci, 0.0, 0.999)
+    sin2 = 1.0 - ci * ci
+    e2r = n * n - k * k  # eta^2
+    e2i = 2.0 * n * k
+    den = jnp.maximum(e2r * e2r + e2i * e2i, 1e-30)
+    s2tr = sin2 * e2r / den  # sin2_t = sin2 / eta^2
+    s2ti = -sin2 * e2i / den
+    ar, ai = 1.0 - s2tr, -s2ti  # cos_t = sqrt(1 - sin2_t)
+    r = jnp.sqrt(jnp.maximum(ar * ar + ai * ai, 0.0))
+    ctr = jnp.sqrt(jnp.maximum((r + ar) * 0.5, 0.0))
+    cti = jnp.sign(ai) * jnp.sqrt(jnp.maximum((r - ar) * 0.5, 0.0))
+    # r_parl = (eta ci - cos_t) / (eta ci + cos_t)
+    ecr, eci = n * ci, k * ci
+    nr, ni = ecr - ctr, eci - cti
+    dr, di = ecr + ctr, eci + cti
+    rp2 = (nr * nr + ni * ni) / jnp.maximum(dr * dr + di * di, 1e-30)
+    # r_perp = (ci - eta cos_t) / (ci + eta cos_t)
+    ect_r = n * ctr - k * cti
+    ect_i = n * cti + k * ctr
+    nr, ni = ci - ect_r, -ect_i
+    dr, di = ci + ect_r, ect_i
+    rs2 = (nr * nr + ni * ni) / jnp.maximum(dr * dr + di * di, 1e-30)
+    return 0.5 * (rp2 + rs2)
+
+
+def _ggx_d1(a, whz):
+    """Isotropic TrowbridgeReitz.d in local coords (cos_phi^2+sin_phi^2=1
+    collapses the anisotropic term to tan2/a^2)."""
+    cos2 = whz * whz
+    cos4 = cos2 * cos2
+    sin2 = jnp.maximum(1.0 - cos2, 0.0)
+    zero_c = cos2 <= 0.0
+    tan2 = sin2 / jnp.where(zero_c, 1.0, cos2)
+    e = tan2 / (a * a)
+    inv_d = np.float32(np.pi) * a * a * cos4 * (1.0 + e) ** 2
+    bad = zero_c | (inv_d == 0.0) | ~jnp.isfinite(inv_d)
+    return jnp.where(bad, 0.0, 1.0 / jnp.where(bad, 1.0, inv_d))
+
+
+def _ggx_lambda1(a, wz):
+    """Isotropic TrowbridgeReitz.lambda_ (0 at grazing like the ref)."""
+    cos2 = wz * wz
+    sin2 = jnp.maximum(1.0 - cos2, 0.0)
+    zero_c = cos2 <= 0.0
+    tan2 = sin2 / jnp.where(zero_c, 1.0, cos2)
+    lam = (-1.0 + jnp.sqrt(1.0 + a * a * tan2)) * 0.5
+    return jnp.where(zero_c, 0.0, lam)
+
+
+def _ggx_refl_base1(a, ox, oy, oz, ix, iy, iz):
+    """principled_fused._ggx_refl_base component-wise: (B, pdf, fcos).
+    B = GGX reflection without color/Fresnel (includes |cos_i|), pdf =
+    VNDF pdf / 4|wo.wh|, fcos = wi . face_forward(wh, +z)."""
+    whx, why, whz = ox + ix, oy + iy, oz + iz
+    dwho = _dot3(whx, why, whz, ox, oy, oz)
+    dwhi = _dot3(ix, iy, iz, whx, why, whz)
+    degen = (
+        (dwho * dwhi < 0.0)
+        | ((whx == 0.0) & (why == 0.0) & (whz == 0.0))
+        | (iz == 0.0)
+        | (oz == 0.0)
+        | (oz * iz <= 0.0)  # ~same_hemisphere
+    )
+    whx, why, whz = _normalize3(whx, why, whz)
+    sgn = jnp.where(whz < 0.0, -1.0, 1.0)
+    fcos = _dot3(ix, iy, iz, whx, why, whz) * sgn
+    d = _ggx_d1(a, whz)
+    g = 1.0 / (1.0 + _ggx_lambda1(a, oz) + _ggx_lambda1(a, iz))
+    denom = iz * oz
+    B = jnp.abs(0.25 * d * g / jnp.where(denom == 0.0, 1.0, denom)) * jnp.abs(iz)
+    dwo_wh = _dot3(ox, oy, oz, whx, why, whz)
+    g1o = 1.0 / (1.0 + _ggx_lambda1(a, oz))
+    pdf_wh = d * g1o * jnp.abs(dwo_wh) / jnp.maximum(jnp.abs(oz), 1e-12)
+    pdf = pdf_wh / jnp.maximum(4.0 * jnp.abs(dwo_wh), 1e-12)
+    B = jnp.where(degen, 0.0, B)
+    pdf = jnp.where(degen, 0.0, pdf)
+    return B, pdf, fcos
+
+
+def _ggx_sample_wh1(a, ox, oy, oz, u0, u1):
+    """TrowbridgeReitz._sample_wh_vndf (Heitz 2018), isotropic, local."""
+    hx, hy, hz = _normalize3(a * ox, a * oy, oz)
+    neg = hz < 0.0
+    hx = jnp.where(neg, -hx, hx)
+    hy = jnp.where(neg, -hy, hy)
+    hz = jnp.where(neg, -hz, hz)
+    # t1 = normalize(cross(+z, wh)) | x-axis at the pole
+    big = hz >= 0.99999
+    inv = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy, 1e-30))
+    t1x = jnp.where(big, 1.0, -hy * inv)
+    t1y = jnp.where(big, 0.0, hx * inv)
+    t1z = jnp.zeros_like(hz)
+    t2x, t2y, t2z = _cross3(hx, hy, hz, t1x, t1y, t1z)
+    t2x, t2y, t2z = _normalize3(t2x, t2y, t2z)
+    r = jnp.sqrt(jnp.maximum(u0, 0.0))
+    phi = u1 * np.float32(2.0 * np.pi)
+    px = r * jnp.cos(phi)
+    py0 = r * jnp.sin(phi)
+    h = jnp.sqrt(jnp.maximum(0.0, 1.0 - px * px))
+    lerp_t = (1.0 + hz) * 0.5
+    py = h + (py0 - h) * lerp_t
+    pz = jnp.sqrt(jnp.maximum(0.0, 1.0 - px * px - py * py))
+    nx = px * t1x + py * t2x + pz * hx
+    ny = px * t1y + py * t2y + pz * hy
+    nz = px * t1z + py * t2z + pz * hz
+    return _normalize3(a * nx, a * ny, jnp.maximum(nz, 1e-6))
+
+
+def _lut1(lut, cos):
+    """Per-lane linear interp of the [B, NC_ALBEDO] spec-albedo LUT slice at
+    |cos| — reproduces ggx_dielectric_albedo's cos interpolation (the
+    roughness/eta axes are baked into the per-material values)."""
+    c = jnp.abs(jnp.clip(cos, -0.999, 0.999)) * np.float32(NC_ALBEDO - 1)
+    i0 = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, NC_ALBEDO - 2)
+    t = c - i0.astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, lut.shape, 1)
+    v0 = jnp.sum(jnp.where(lane == i0[:, None], lut, 0.0), axis=1)
+    v1 = jnp.sum(jnp.where(lane == (i0 + 1)[:, None], lut, 0.0), axis=1)
+    return v0 + (v1 - v0) * t
+
+
 # ---------------------------------------------------------------- kernel
 def _mt_sweep(attr_ref, T, ox, oy, oz, dx, dy, dz, tmin, tmax, ex0, ex1,
               any_hit):
@@ -205,9 +363,13 @@ def _mt_sweep(attr_ref, T, ox, oy, oz, dx, dy, dz, tmin, tmax, ex0, ex1,
     return t_min, tri, b0, b1, got
 
 
-def _make_kernel(scene, settings, spp_chunk, seed, refl_const, filter_kind,
-                 filter_radius, npix):
-    """Build the kernel body closed over all static scene config."""
+def _make_kernel(scene, settings, spp_chunk, seed, has_spec, has_metal,
+                 filter_kind, filter_radius, npix):
+    """Build the kernel body closed over all static scene config.
+
+    has_spec / has_metal: static (python) flags — False compiles the
+    specular-layer / metal-lobe math out entirely (cbox: has_spec False
+    because every specular_weight is 0; a pure-diffuse scene sets both)."""
     cam = scene.camera
     r2c = np.asarray(cam.r2c, np.float64)
     c2w = np.asarray(cam.c2w, np.float64)
@@ -225,7 +387,7 @@ def _make_kernel(scene, settings, spp_chunk, seed, refl_const, filter_kind,
     cam_o = c2w[:3, 3]  # world camera origin (pinhole)
 
     def kernel(s0_ref, attr_ref, ce_ref, lsel_ref, loff_ref, ltab_ref,
-               refl_ref, out_ref):
+               mat_ref, out_ref):
         i = pl.program_id(0)
         B = BLOCK_MK
         pix = i * B + jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
@@ -438,13 +600,19 @@ def _make_kernel(scene, settings, spp_chunk, seed, refl_const, filter_kind,
                           / jnp.maximum(cos_l, 1e-20)) * choice_pdf
                 light_valid = (active & jnp.isfinite(ls_pdf) & (d2 > 0.0))
 
-                # --- diffuse shade: eval NEE dir + sample new dir (3+ dims)
+                # --- shade: reduced fused-principled closure (3 dims) ---
+                # (principled_fused.py with static_zero >= {transmission,
+                # coat}: diffuse + metal + specular layer; diffuse-only
+                # rows degenerate to Lambert exactly)
                 ctr, ub0 = _draw(key, ctr)
                 ctr, ub1 = _draw(key, ctr)
                 ctr, ub2 = _draw(key, ctr)
-                # reflectance (pre-divided by pi) per material
-                rrow = _gather_row(refl_ref, mat, M)
-                ref_r, ref_g, ref_b = rrow[:, 0], rrow[:, 1], rrow[:, 2]
+                rrow = _gather_row(mat_ref, mat, M)  # [B, MAT_COLS]
+                ref_r = rrow[:, _MT_REFL]
+                ref_g = rrow[:, _MT_REFL + 1]
+                ref_b = rrow[:, _MT_REFL + 2]
+                alpha_g = rrow[:, _MT_ALPHA]
+                met = rrow[:, _MT_METAL]
                 # shading frame = ONB(ns)
                 (tx, ty, tz), (bx, by, bz) = _onb(nsx, nsy, nsz)
 
@@ -464,39 +632,111 @@ def _make_kernel(scene, settings, spp_chunk, seed, refl_const, filter_kind,
                     return a1 & a2
 
                 lwo = to_local(wox, woy, woz)
+                if has_spec:
+                    lut = rrow[:, _MT_LUT:_MT_LUT + NC_ALBEDO]
+                    sc_r = rrow[:, _MT_SPEC_COL]
+                    sc_g = rrow[:, _MT_SPEC_COL + 1]
+                    sc_b = rrow[:, _MT_SPEC_COL + 2]
+                    alb_o = _lut1(lut, lwo[2])
+
+                def bsdf_eval(lix, liy, liz):
+                    """FusedPrincipled.evaluate reduced: (f rgb, pdf);
+                    f includes |cos_i|."""
+                    B_r, pdf_r, fcos = _ggx_refl_base1(
+                        alpha_g, lwo[0], lwo[1], lwo[2], lix, liy, liz)
+                    same = lwo[2] * liz > 0.0
+                    cos_i = jnp.abs(liz)
+                    f_r = jnp.where(same, ref_r * cos_i, 0.0)
+                    f_g = jnp.where(same, ref_g * cos_i, 0.0)
+                    f_b = jnp.where(same, ref_b * cos_i, 0.0)
+                    pdf = jnp.where(same, cos_i * np.float32(_INV_PI), 0.0)
+                    if has_spec:
+                        alb_i = _lut1(lut, liz)
+                        eo_r, eo_g, eo_b = sc_r * alb_o, sc_g * alb_o, sc_b * alb_o
+                        ei_r, ei_g, ei_b = sc_r * alb_i, sc_g * alb_i, sc_b * alb_i
+                        p_s = (eo_r + eo_g + eo_b) * np.float32(1.0 / 3.0)
+                        frd = _fr_dielectric1(fcos, rrow[:, _MT_SPEC_ETA])
+                        f_r = (B_r * frd * sc_r
+                               + f_r * jnp.minimum(1.0 - eo_r, 1.0 - ei_r))
+                        f_g = (B_r * frd * sc_g
+                               + f_g * jnp.minimum(1.0 - eo_g, 1.0 - ei_g))
+                        f_b = (B_r * frd * sc_b
+                               + f_b * jnp.minimum(1.0 - eo_b, 1.0 - ei_b))
+                        pdf = pdf_r * p_s + pdf * (1.0 - p_s)
+                    if has_metal:
+                        afc = jnp.abs(fcos)
+                        fm_r = B_r * _fr_complex1(afc, rrow[:, _MT_N],
+                                                  rrow[:, _MT_K])
+                        fm_g = B_r * _fr_complex1(afc, rrow[:, _MT_N + 1],
+                                                  rrow[:, _MT_K + 1])
+                        fm_b = B_r * _fr_complex1(afc, rrow[:, _MT_N + 2],
+                                                  rrow[:, _MT_K + 2])
+                        f_r = f_r + (fm_r - f_r) * met
+                        f_g = f_g + (fm_g - f_g) * met
+                        f_b = f_b + (fm_b - f_b) * met
+                        pdf = pdf + (pdf_r - pdf) * met
+                    return f_r, f_g, f_b, pdf
+
+                # NEE eval (closure.evaluate at the light direction)
                 lwi = to_local(wix, wiy, wiz)
-                same_nee = lwo[2] * lwi[2] > 0.0
-                ok_nee = same_nee & leak_ok(wox, woy, woz, wix, wiy, wiz)
-                cos_nee = jnp.abs(lwi[2])
-                pdf_l = jnp.where(ok_nee, cos_nee * np.float32(_INV_PI), 0.0)
-                fl_r = jnp.where(ok_nee, ref_r * cos_nee, 0.0)
-                fl_g = jnp.where(ok_nee, ref_g * cos_nee, 0.0)
-                fl_b = jnp.where(ok_nee, ref_b * cos_nee, 0.0)
+                el_r, el_g, el_b, pdf_l = bsdf_eval(lwi[0], lwi[1], lwi[2])
+                ok_nee = leak_ok(wox, woy, woz, wix, wiy, wiz)
+                pdf_l = jnp.where(ok_nee, pdf_l, 0.0)
+                fl_r = jnp.where(ok_nee, el_r, 0.0)
+                fl_g = jnp.where(ok_nee, el_g, 0.0)
+                fl_b = jnp.where(ok_nee, el_b, 0.0)
                 w_nee = ls_pdf / jnp.maximum(ls_pdf + pdf_l, 1e-30)
                 scale = w_nee / jnp.maximum(ls_pdf, 1e-20)
                 dir_r = lir * fl_r * scale
                 dir_g = lig * fl_g * scale
                 dir_b = lib * fl_b * scale
 
-                # cosine hemisphere sample (uses ub1, ub2 like
-                # DiffuseBsdf.sample_wi(u_select=ub0, u_sample=ub1/ub2))
+                # sample_wi cascade (FusedPrincipled.sample_wi, coat and
+                # transmission levels statically skipped)
+                u_sel = ub0
+                pick_metal = jnp.zeros_like(u_sel, bool)
+                if has_metal:
+                    pick_metal = u_sel < met
+                    u_sel = jnp.clip(
+                        jnp.where(
+                            pick_metal,
+                            u_sel / jnp.maximum(met, 1e-20),
+                            (u_sel - met) / jnp.maximum(1.0 - met, 1e-20),
+                        ), 0.0, 1.0)
+                pick_spec = jnp.zeros_like(u_sel, bool)
+                if has_spec:
+                    p_s_o = (sc_r + sc_g + sc_b) * np.float32(1.0 / 3.0) * alb_o
+                    pick_spec = u_sel < p_s_o
+                use_refl = pick_metal | pick_spec
+                whx, why, whz = _ggx_sample_wh1(
+                    alpha_g, lwo[0], lwo[1], lwo[2], ub1, ub2)
+                dwh = _dot3(lwo[0], lwo[1], lwo[2], whx, why, whz)
+                rxx = -lwo[0] + 2.0 * dwh * whx
+                rxy = -lwo[1] + 2.0 * dwh * why
+                rxz = -lwo[2] + 2.0 * dwh * whz
+                # cosine hemisphere (same u_sample stream as the GGX wh)
                 rdisk = jnp.sqrt(jnp.maximum(ub1, 0.0))
                 phi = ub2 * (2.0 * np.pi)
                 sx = rdisk * jnp.cos(phi)
                 sy = rdisk * jnp.sin(phi)
                 sz = jnp.sqrt(jnp.maximum(0.0, 1.0 - sx * sx - sy * sy))
-                flip_wi = jnp.where(lwo[2] * sz < 0.0, -1.0, 1.0)
+                flip_wi = jnp.where(lwo[2] * sz > 0.0, 1.0, -1.0)
                 sx, sy, sz = sx * flip_wi, sy * flip_wi, sz * flip_wi
-                nwx = sx * tx + sy * bx + sz * nsx
-                nwy = sx * ty + sy * by + sz * nsy
-                nwz = sx * tz + sy * bz + sz * nsz
-                same_s = lwo[2] * sz > 0.0
-                ok_s = same_s & leak_ok(wox, woy, woz, nwx, nwy, nwz)
-                cos_s = jnp.abs(sz)
-                pdf_s = jnp.where(ok_s, cos_s * np.float32(_INV_PI), 0.0)
-                fs_r = jnp.where(ok_s, ref_r * cos_s, 0.0)
-                fs_g = jnp.where(ok_s, ref_g * cos_s, 0.0)
-                fs_b = jnp.where(ok_s, ref_b * cos_s, 0.0)
+                lix = jnp.where(use_refl, rxx, sx)
+                liy = jnp.where(use_refl, rxy, sy)
+                liz = jnp.where(use_refl, rxz, sz)
+                valid_s = jnp.where(use_refl, lwo[2] * rxz > 0.0,
+                                    jnp.ones_like(use_refl))
+                nwx = lix * tx + liy * bx + liz * nsx
+                nwy = lix * ty + liy * by + liz * nsy
+                nwz = lix * tz + liy * bz + liz * nsz
+                es_r, es_g, es_b, pdf_s = bsdf_eval(lix, liy, liz)
+                ok_s = (valid_s & leak_ok(wox, woy, woz, nwx, nwy, nwz)
+                        & (pdf_s > 0.0))
+                pdf_s = jnp.where(ok_s, pdf_s, 0.0)
+                fs_r = jnp.where(ok_s, es_r, 0.0)
+                fs_g = jnp.where(ok_s, es_g, 0.0)
+                fs_b = jnp.where(ok_s, es_b, 0.0)
 
                 # --- shadow ray ---
                 srx, sry, srz = _offset_ray_origin(
@@ -608,37 +848,42 @@ def megakernel_eligible(scene, settings, sampler_config, filt) -> bool:
         return False
     if settings.indirect_only or not settings.use_nee:
         return False
-    if not settings.force_diffuse and _diffuse_reflectance(scene) is None:
+    if not settings.force_diffuse and _bake_shading(scene) is None:
         return False
     return True
 
 
-def _diffuse_reflectance(scene):
-    """[M, 3] constant Lambert reflectance (pre-divided by pi) if EVERY kind
-    is statically a constant-reflectance diffuse BSDF, else None.
+def _bake_shading(scene):
+    """([M, MAT_COLS] table, has_spec, has_metal) if EVERY kind statically
+    reduces to the diffuse+metal+specular closure — constant-input diffuse
+    or constant-input principled with transmission and coat statically 0 —
+    else None.
 
-    Constancy is by construction (node whitelist: only constant color
-    sources feed the diffuse closure); the VALUES come from evaluating the
-    real closure via dispatch_closure on every material row, so srgb->linear
-    and spectral-uplift conversions match the wavefront path bit-for-bit."""
+    Constancy is by construction (node whitelist: only constant sources);
+    the VALUES come from the real compiled closure via dispatch_closure per
+    material row, so srgb->linear, spectral uplift, f0/spec_eta derivation
+    and the GGX albedo precompute table match the wavefront path
+    bit-for-bit. The spec-layer albedo is baked as a per-material cos-LUT
+    at the precompute table's own 16 knots (exact — read_3d is piecewise-
+    linear in cos)."""
     from ..svm.eval import EvalContext, dispatch_closure
-    from ..svm.surface import DiffuseBsdf, SurfaceClosure
+    from ..svm.principled_fused import FusedPrincipled
+    from ..svm.surface import DiffuseBsdf
 
     CONST_OPS = {"float", "float3", "float4", "rgb", "uplift", "diffuse",
-                 "output"}
+                 "principled", "output"}
     for kind in scene.kinds:
         if any(nd[0] not in CONST_OPS for nd in kind.nodes):
             return None
         if kind.nodes[kind.output][0] != "output":
             return None
-        if kind.nodes[kind.nodes[kind.output][1]][0] != "diffuse":
-            return None
     M = int(scene.arrays.const_emission.shape[0])
-    refl = np.zeros((M, 3), np.float32)
-    seen = np.zeros((M,), bool)
+    tab = np.zeros((M, MAT_COLS), np.float32)
+    tab[:, _MT_N:_MT_N + 3] = 1.0  # benign conductor ior for unused rows
     zeros3 = jnp.zeros((M, 3))
     frame = (zeros3.at[:, 0].set(1.0), zeros3.at[:, 1].set(1.0),
              zeros3.at[:, 2].set(1.0))
+    eye = np.asarray(frame).transpose(1, 0, 2)  # [M, 3(axis), 3]
     for ki, kind in enumerate(scene.kinds):
         ctx = EvalContext(
             params=scene.arrays.param_mats[ki],  # one row per material
@@ -648,16 +893,58 @@ def _diffuse_reflectance(scene):
                           if scene.kind_const_ranges is not None else None),
         )
         closure = dispatch_closure(kind, ctx, mode="surface")
-        inner = closure.inner if isinstance(closure, SurfaceClosure) else closure
-        if not isinstance(inner, DiffuseBsdf):
-            return None
-        vals = np.asarray(inner.reflectance, np.float32)  # [M, 3], * INV_PI
+        # unwrap nested SurfaceClosures (outer world frame + normal_map);
+        # every intermediate frame must be the identity or the single
+        # leak check in the kernel is not equivalent
+        inner = closure
+        depth = 0
+        while hasattr(inner, "inner"):
+            if depth > 0:  # inner normal-map closure: frame must be identity
+                fr = np.stack([np.asarray(inner.t), np.asarray(inner.b),
+                               np.asarray(inner.n)], 1)
+                if not np.allclose(fr, eye, atol=1e-6):
+                    return None
+            inner = inner.inner
+            depth += 1
         mats_of_kind = np.unique(np.asarray(scene.arrays.tri_mat)[
             np.asarray(scene.arrays.shader_kind) == ki
         ])
-        refl[mats_of_kind] = vals[mats_of_kind]
-        seen[mats_of_kind] = True
-    return refl
+        rows = np.asarray(mats_of_kind, np.int64)
+        if isinstance(inner, DiffuseBsdf):
+            vals = np.asarray(inner.reflectance, np.float32)  # [M,3] * 1/pi
+            tab[rows, _MT_REFL:_MT_REFL + 3] = vals[rows]
+            tab[rows, _MT_ALPHA] = 1.0
+        elif isinstance(inner, FusedPrincipled):
+            if not {"transmission", "coat"} <= inner.static_zero:
+                return None
+            if not inner.dist_r.sample_visible:
+                return None
+            al = np.asarray(inner.dist_r.alpha, np.float32)
+            if al.ndim == 2 and not np.allclose(al[:, 0], al[:, 1]):
+                return None  # anisotropic: not in kernel scope
+            tab[rows, _MT_REFL:_MT_REFL + 3] = (
+                np.asarray(inner.color, np.float32) * np.float32(_INV_PI)
+            )[rows]
+            tab[rows, _MT_ALPHA] = (al[:, 0] if al.ndim == 2 else al)[rows]
+            tab[rows, _MT_METAL] = np.asarray(inner.metallic, np.float32)[rows]
+            tab[rows, _MT_SPEC_ETA] = np.asarray(
+                inner.spec_eta, np.float32)[rows]
+            spec_col = np.asarray(
+                inner.specular_tint
+                * jnp.asarray(inner.specular_weight)[..., None], np.float32)
+            tab[rows, _MT_SPEC_COL:_MT_SPEC_COL + 3] = spec_col[rows]
+            tab[rows, _MT_N:_MT_N + 3] = np.asarray(inner.n_m, np.float32)[rows]
+            tab[rows, _MT_K:_MT_K + 3] = np.asarray(inner.k_m, np.float32)[rows]
+            if np.any(spec_col[rows] != 0.0):
+                for c_idx in range(NC_ALBEDO):
+                    cos_v = jnp.full((M,), c_idx / (NC_ALBEDO - 1.0))
+                    tab[rows, _MT_LUT + c_idx] = np.asarray(
+                        inner.spec_albedo_fn(cos_v), np.float32)[rows]
+        else:
+            return None
+    has_metal = bool(np.any(tab[:, _MT_METAL] != 0.0))
+    has_spec = bool(np.any(tab[:, _MT_SPEC_COL:_MT_SPEC_COL + 3] != 0.0))
+    return tab, has_spec, has_metal
 
 
 def render_pt_megakernel(scene, config, task=None, progress_cb=None,
@@ -682,10 +969,15 @@ def render_pt_megakernel(scene, config, task=None, progress_cb=None,
     a = scene.arrays
     M = int(a.const_emission.shape[0])
     if settings.force_diffuse:
-        refl = np.full((M, 3), 0.8 * _INV_PI, np.float32)
+        tab = np.zeros((M, MAT_COLS), np.float32)
+        tab[:, _MT_REFL:_MT_REFL + 3] = 0.8 * _INV_PI
+        tab[:, _MT_ALPHA] = 1.0
+        tab[:, _MT_N:_MT_N + 3] = 1.0
+        has_spec = has_metal = False
     else:
-        refl = _diffuse_reflectance(scene)
-        assert refl is not None, "megakernel_eligible not checked"
+        baked = _bake_shading(scene)
+        assert baked is not None, "megakernel_eligible not checked"
+        tab, has_spec, has_metal = baked
     filter_kind = "gaussian" if isinstance(filt, GaussianFilter) else "box"
     fr = float(filt.radius)
 
@@ -702,7 +994,7 @@ def render_pt_megakernel(scene, config, task=None, progress_cb=None,
                       a.lights.tri_alias.astype(jnp.float32),
                       a.lights.tri_pdf,
                       a.lights.tri_ids.astype(jnp.float32)])  # [4, S]
-    refl_j = jnp.asarray(refl)
+    tab_j = jnp.asarray(tab)
 
     import os
 
@@ -722,7 +1014,8 @@ def render_pt_megakernel(scene, config, task=None, progress_cb=None,
             pl.BlockSpec((3, L), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, L), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, S), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, 3), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, MAT_COLS), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((4, BLOCK_MK), lambda i, s: (0, i),
                                memory_space=pltpu.VMEM),
@@ -732,17 +1025,17 @@ def render_pt_megakernel(scene, config, task=None, progress_cb=None,
 
     def get_run(chunk):
         if chunk not in runs:
-            kernel = _make_kernel(scene, settings, chunk, seed, None,
-                                  filter_kind, fr, npix)
+            kernel = _make_kernel(scene, settings, chunk, seed, has_spec,
+                                  has_metal, filter_kind, fr, npix)
 
             @jax.jit
-            def run_pass(attr, ce, lsel, loff, ltab, refl_in, s0):
+            def run_pass(attr, ce, lsel, loff, ltab, mat_in, s0):
                 return pl.pallas_call(
                     kernel,
                     out_shape=jax.ShapeDtypeStruct((4, npad), jnp.float32),
                     grid_spec=grid_spec,
                     interpret=interpret,
-                )(s0, attr, ce, lsel, loff, ltab, refl_in)
+                )(s0, attr, ce, lsel, loff, ltab, mat_in)
 
             runs[chunk] = run_pass
         return runs[chunk]
@@ -754,7 +1047,7 @@ def render_pt_megakernel(scene, config, task=None, progress_cb=None,
     while done < config.spp:
         chunk = min(spp_chunk, config.spp - done)
         out = get_run(chunk)(a.attr, a.const_emission, lsel, loff, ltab,
-                             refl_j, jnp.asarray([done], jnp.int32))
+                             tab_j, jnp.asarray([done], jnp.int32))
         acc += np.asarray(out)
         done += chunk
         if progress_cb:

@@ -79,17 +79,52 @@ def _measure_wavefront(scene, res_w, res_h, spp, max_depth):
     return res_w * res_h * spp / dt / 1e6, dt
 
 
+def _measure_megakernel(scene, res_w, res_h, spp, max_depth):
+    """Megakernel tier (integrators/megakernel.py): whole paths in one
+    Pallas kernel, VMEM-resident state. Raises if the scene is outside the
+    tier's static scope (the race just drops it)."""
+    import time as _t
+
+    from akari_render_tpu.config import PTConfig
+    from akari_render_tpu.core.filters import GaussianFilter
+    from akari_render_tpu.integrators.common import PTSettings
+    from akari_render_tpu.integrators.megakernel import (
+        megakernel_eligible, render_pt_megakernel,
+    )
+
+    if not megakernel_eligible(
+        scene, PTSettings(max_depth=max_depth, rr_depth=5), None,
+        GaussianFilter(1.5),
+    ):
+        raise RuntimeError("scene outside megakernel scope")
+    cfg = PTConfig(spp=spp, max_depth=max_depth, rr_depth=5, spp_per_pass=spp)
+    render_pt_megakernel(scene, cfg)  # compile + warm
+    t0 = _t.time()
+    render_pt_megakernel(scene, cfg)
+    dt = _t.time() - t0
+    return res_w * res_h * spp / dt / 1e6, dt
+
+
 def _best_config(scene, res_w, res_h, spp, max_depth):
     """Race the integrator configurations and return the fastest:
-    (pass | persistent wavefront) x (pcg | stateless-hash RNG). The pass
-    integrator with the reference-parity PCG stream is the always-works
-    floor; each alternative is guarded so a failure just drops it."""
+    (pass | persistent wavefront | megakernel) x (pcg | stateless-hash
+    RNG). The pass integrator with the reference-parity PCG stream is the
+    always-works floor; each alternative is guarded so a failure just
+    drops it. The megakernel carries its own in-kernel hash RNG, so it
+    races once."""
     results = {}
     mp, dt, cost = _measure(scene, res_w, res_h, spp, max_depth)
     results["pass,pcg"] = (mp, dt)
     best = ("pass,pcg", mp, dt, cost)
     if os.environ.get("BENCH_FAST"):
         return best, results
+    try:
+        mp2, dt2 = _measure_megakernel(scene, res_w, res_h, spp, max_depth)
+        results["mk"] = (mp2, dt2)
+        if mp2 > best[1]:
+            best = ("mk", mp2, dt2, None)
+    except Exception as e:
+        results["mk"] = ("error: " + str(e)[:80],)
     for rng in ("pcg", "hash"):
         for name, fn in (("wf", _measure_wavefront), ("pass", _measure)):
             key = f"{name},{rng}"

@@ -20,9 +20,10 @@ CBOX = "/root/reference/scenes/cbox/scene.json"
 def test_eligibility_predicate():
     scene = load_scene(CBOX, width=16, height=16)
     filt = GaussianFilter(1.5)
-    # cbox's real materials are a fused principled kind with varying
-    # metallic: outside the v1 diffuse scope
-    assert not megakernel_eligible(scene, PTSettings(), None, filt)
+    # v1.5: cbox's real materials (constant-input fused principled with
+    # varying metallic, transmission/coat statically 0) bake into the
+    # in-kernel diffuse+metal+specular closure
+    assert megakernel_eligible(scene, PTSettings(), None, filt)
     # force_diffuse (pt.rs:268-280 debug mode) is in scope
     assert megakernel_eligible(
         scene, PTSettings(force_diffuse=True), None, filt
@@ -51,6 +52,24 @@ def test_matches_wavefront_force_diffuse():
     assert abs(m_ref - m_mk) / m_ref < 0.02, (m_ref, m_mk)
     assert float(np.mean(np.abs(img_mk - img_ref))) < 0.01
     assert stats["spp_total"] == 48
+
+
+def test_matches_wavefront_principled():
+    """v1.5 real-material path: cbox's fused-principled kind (one
+    metallic-1 sphere, diffuse walls) baked into the in-kernel closure;
+    same hash sample streams as render_pt, statistical agreement."""
+    scene = load_scene(CBOX, width=32, height=32)
+    cfg = PTConfig(spp=48, max_depth=5, rr_depth=3, spp_per_pass=48)
+    os.environ["AKR_RNG"] = "hash"
+    try:
+        img_ref, _ = render_pt(scene, cfg)
+    finally:
+        del os.environ["AKR_RNG"]
+    img_mk, _ = render_pt_megakernel(scene, cfg)
+    assert np.isfinite(img_mk).all()
+    m_ref, m_mk = float(np.mean(img_ref)), float(np.mean(img_mk))
+    assert abs(m_ref - m_mk) / m_ref < 0.03, (m_ref, m_mk)
+    assert float(np.mean(np.abs(img_mk - img_ref))) < 0.015
 
 
 def test_routing_env_gate():
