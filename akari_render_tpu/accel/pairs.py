@@ -23,12 +23,16 @@ replaces the per-RAY cull with a per-BLOCK cull plus a Pallas sweep:
    triangle loop statically unrolled (scalars become VPU immediates). No
    [K, N] or [N, C, 12] HBM intermediates exist anywhere.
 
-Rounds repeat (jax.lax.while_loop) until every block's MAXC-th candidate
-entry lies beyond its worst lane's best hit — the same termination proof as
-the flat rounds: conservative block entry lower-bounds every lane's true
-entry, so `entry >= max(best_t)` means no remaining cluster can improve any
-lane. Replaces rtx::Accel for large scenes (ref scene.rs:111-153,
-mesh.rs:288-333).
+Rounds repeat (jax.lax.while_loop) along a PRECOMPUTED per-block walk order:
+step 3's selection is ONE stable argsort of the conservative entries per
+intersect, and each round gathers the next W members at a per-block cursor
+(the earlier formulation re-ranked all K candidates with a top_k every
+round). A block terminates when the member at its cursor lies beyond its
+worst live lane's best hit — the same termination proof as the flat rounds:
+conservative block entry lower-bounds every lane's true entry and the walk
+order ascends, so `entry >= max(best_t)` means no remaining cluster can
+improve any lane. Replaces rtx::Accel for large scenes (ref
+scene.rs:111-153, mesh.rs:288-333).
 
 Measured (TPU v5e, 2M-tri heightfield, 128k coherent-ish rays,
 tools/bench_accel.py): flat rounds 0.042 -> pairs ~8-20 Mrays/s.
@@ -461,37 +465,55 @@ def intersect_pairs(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
             bt = jnp.where(occ, -INF, bt)
         return bt.max(axis=1)
 
-    def round_cond(carry):
-        return jnp.any(carry[3])
-
     maxc_eff = min(maxc, K)
     W = min(maxc_eff * WINDOW_MULT, K)
     wch = min(_REFINE_WCH, W)
     W_pad = ((W + wch - 1) // wch) * wch
-    rowsB = jnp.arange(B)
     posW = jnp.arange(W, dtype=jnp.int32)
     inv_soa = inv_d.T  # [3, n_pad] for the Pallas refine
     # conservative entry/exit once; rounds only re-apply the horizon
     ent_raw, exit_raw = _block_entries_raw(
         cl.cbmin, cl.cbmax, olo, ohi, ilo, ihi, bt0
     )
-    ids_row = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :],
-                               ent_raw.shape)
+
+    # ---- cursor walk precompute: each block's full candidate order, ONCE.
+    # The per-round top_k over [B, K] (the dominant XLA op of the threshold
+    # formulation at large K) is replaced by ONE stable argsort here; rounds
+    # then just gather the next W members at a per-block cursor. Exactness:
+    # the walk order is ascending (entry, id) — identical to the lex
+    # threshold's enumeration — and the block horizon bt1 only SHRINKS, so
+    # the first member whose entry exceeds bt1 ends the block permanently
+    # (every later member's entry is >= it). Members straddling a window
+    # whose entry exceeds bt1, or that no live lane's [tmin, best_t] slab
+    # interval can reach, fail the per-ray refine (block entry lower-bounds
+    # every lane's true entry) and are consumed vacuously, exactly like the
+    # threshold formulation's zero-pass members.
+    e_init = jnp.where(ent_raw <= exit_raw, ent_raw, INF)
+    worder = jnp.argsort(e_init, axis=1).astype(jnp.int32)  # stable: id asc
+    went = jnp.take_along_axis(e_init, worder, axis=1)  # [B, K] ascending
+    kcnt = jnp.sum(jnp.isfinite(e_init), axis=1).astype(jnp.int32)
+
+    def win_live(cursor, bt1):
+        """Is the member AT the cursor still consumable? (ascending order:
+        no -> the whole remaining tail is dead too)."""
+        c = jnp.minimum(cursor, K - 1)
+        e_at = jnp.take_along_axis(went, c[:, None], axis=1)[:, 0]
+        return (cursor < kcnt) & (e_at <= bt1)
+
+    def round_cond2(carry):
+        return jnp.any(carry[1])
 
     def round_body(carry):
-        thresh_e, thresh_id, best, live = carry
+        cursor, live, best = carry
         bt1 = block_lim(best)
-        e = jnp.where(ent_raw <= jnp.minimum(exit_raw, bt1[:, None]),
-                      ent_raw, INF)
-        after = (e > thresh_e[:, None]) | (
-            (e == thresh_e[:, None]) & (ids_row > thresh_id[:, None])
-        )
-        e = jnp.where(after & live[:, None], e, INF)
-        # window: next W conservative candidates, ascending (stable top_k:
-        # ties by ascending cluster id — exactness of the lex threshold)
-        neg, win_i = jax.lax.top_k(-e, W)
-        win_e = -neg
-        win_i = win_i.astype(jnp.int32)
+        # window: next W members of the precomputed walk order ([B, W]
+        # gathers replace the [B, K] top_k + masking of the old threshold
+        # rounds)
+        idx = cursor[:, None] + posW[None, :]
+        idx_c = jnp.minimum(idx, K - 1)
+        win_e = jnp.take_along_axis(went, idx_c, axis=1)
+        win_i = jnp.take_along_axis(worder, idx_c, axis=1)
+        win_e = jnp.where((idx < kcnt[:, None]) & live[:, None], win_e, INF)
 
         # per-ray slab refinement (Pallas, [BLOCK, wch] VMEM temps): which
         # window members can ANY live lane hit within [tmin, best_t]?
@@ -520,9 +542,7 @@ def intersect_pairs(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
         kept_count = kept_rank[:, -1]
         full_consume = kept_count <= maxc_eff
         cut = jnp.max(jnp.where(selected, posW[None, :], -1), axis=1)
-        cut_pos = jnp.where(full_consume, W - 1, cut)
-        thr_e_new = win_e[rowsB, cut_pos]
-        thr_i_new = win_i[rowsB, cut_pos]
+        advance = jnp.where(full_consume, W, cut + 1)
 
         # compact the selected members (order-preserving) into [B, maxc_eff]
         key = jnp.where(selected, posW[None, :], W + posW[None, :])
@@ -542,21 +562,13 @@ def intersect_pairs(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
         )[:, None, :].astype(jnp.float32)
         out = _sweep_ent(tri_ix, xf_ix, o_soa, d_soa, lim, ex, cand_e,
                          tri, xf_tab, best, any_hit, interpret)
-        new_live = live & jnp.isfinite(thr_e_new) & (thr_e_new < block_lim(out))
-        return (
-            jnp.where(new_live, thr_e_new, thresh_e),
-            jnp.where(new_live, thr_i_new, thresh_id),
-            out,
-            new_live,
-        )
+        cursor_new = jnp.where(live, cursor + advance, cursor)
+        new_live = live & win_live(cursor_new, block_lim(out))
+        return (cursor_new, new_live, out)
 
-    carry = (
-        jnp.full((B,), -INF),
-        jnp.full((B,), -1, jnp.int32),
-        best0,
-        jnp.ones((B,), bool),
-    )
-    _, _, best, _ = jax.lax.while_loop(round_cond, round_body, carry)
+    cur0 = jnp.zeros((B,), jnp.int32)
+    carry = (cur0, win_live(cur0, block_lim(best0)), best0)
+    _, _, best = jax.lax.while_loop(round_cond2, round_body, carry)
 
     # unsort: sorted position p holds ray perm[p], so original ray i reads
     # position inv[i]

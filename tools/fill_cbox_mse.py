@@ -47,12 +47,15 @@ def main():
         print(f"{mode}: mse={mse[mode]:.6e} ({time.time()-t0:.1f}s)",
               flush=True)
 
+    import jax
+
+    plat = jax.devices()[0].platform
     rec["cbox"]["mse"] = mse
     rec["cbox"]["note"] = (
-        "measured on TPU: reconnection beats PSS replay on the "
+        f"measured on {plat}: reconnection beats PSS replay on the "
         "diffuse-receiver scene, the regime the shift exists for"
         if mse["reconnect"] < mse["pss"]
-        else "measured on TPU: UNEXPECTED - pss <= reconnect on cbox"
+        else f"measured on {plat}: UNEXPECTED - pss <= reconnect on cbox"
     )
     record_path.write_text(json.dumps(rec, indent=2) + "\n")
     print(json.dumps(rec["cbox"], indent=2), flush=True)
