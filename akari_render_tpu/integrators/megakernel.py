@@ -947,6 +947,9 @@ def _bake_shading(scene):
     return tab, has_spec, has_metal
 
 
+_RUNS: dict = {}  # (scene id, static config) -> (jitted pass, scene ref)
+
+
 def render_pt_megakernel(scene, config, task=None, progress_cb=None,
                          session=None):
     """Megakernel render path; caller must have checked megakernel_eligible.
@@ -1021,10 +1024,13 @@ def render_pt_megakernel(scene, config, task=None, progress_cb=None,
                                memory_space=pltpu.VMEM),
     )
 
-    runs: dict = {}
-
     def get_run(chunk):
-        if chunk not in runs:
+        # process-wide memo: repeat renders of the same scene/config reuse
+        # the traced+compiled pass instead of re-tracing the (large) kernel
+        # graph every call — retraces cost seconds of host time per call
+        key = (id(scene), repr(settings), chunk, seed, has_spec, has_metal,
+               filter_kind, fr, npix, interpret)
+        if key not in _RUNS:
             kernel = _make_kernel(scene, settings, chunk, seed, has_spec,
                                   has_metal, filter_kind, fr, npix)
 
@@ -1037,8 +1043,10 @@ def render_pt_megakernel(scene, config, task=None, progress_cb=None,
                     interpret=interpret,
                 )(s0, attr, ce, lsel, loff, ltab, mat_in)
 
-            runs[chunk] = run_pass
-        return runs[chunk]
+            # the scene rides along so its id() can never be recycled onto a
+            # live cache entry (the kernel closes over scene constants)
+            _RUNS[key] = (run_pass, scene)
+        return _RUNS[key][0]
 
     t0 = time.time()
     acc = np.zeros((4, npad), np.float32)
