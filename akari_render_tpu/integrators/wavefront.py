@@ -290,6 +290,9 @@ def _make_step(scene: Scene, settings: PTSettings, filt, width, height,
     return jax.jit(step, donate_argnums=(1, 2, 3), static_argnums=(6,))
 
 
+_STEPS: dict = {}  # (scene id, static config) -> (jitted step, scene ref)
+
+
 def _empty_lanes(scene: Scene, filt, width, height, pool, sampler_config, seed):
     lanes = _fresh_lanes(
         scene, filt, width, height, jnp.zeros((pool,), jnp.int32),
@@ -321,9 +324,18 @@ def render_pt_wavefront(scene: Scene, config: PTConfig, task=None,
     sampler_config = task.sampler if task else None
     pool = min(npix * config.spp, max_wavefront_lanes(scene))
 
-    step = _make_step(
-        scene, settings, filt, width, height, sampler_config, seed, pool
-    )
+    # process-wide memo: repeat renders reuse the traced step (retracing the
+    # bounce graph costs seconds of host time per call); the scene rides in
+    # the value so its id() can't be recycled onto a live entry
+    key = (id(scene), repr(settings), repr(filt), width, height,
+           repr(sampler_config), seed, pool)
+    if key not in _STEPS:
+        _STEPS[key] = (
+            _make_step(scene, settings, filt, width, height, sampler_config,
+                       seed, pool),
+            scene,
+        )
+    step = _STEPS[key][0]
     accum = jnp.zeros((npix, 3))
     weight = jnp.zeros((npix,))
     lanes = _empty_lanes(scene, filt, width, height, pool, sampler_config, seed)
