@@ -75,6 +75,14 @@ def _sort_dispatch_mode() -> str:
     return os.environ.get("AKR_SORT_DISPATCH", "1")
 
 
+def _fuse_rays_mode() -> bool:
+    """AKR_FUSE_RAYS=1: pipeline shadow + next-bounce rays into one
+    traversal call per bounce (opt-in until the TPU A/B win is recorded)."""
+    import os
+
+    return os.environ.get("AKR_FUSE_RAYS", "0") == "1"
+
+
 def _pick_chunk(n: int, k: int) -> int:
     """Chunk size: large enough to fill the VPU per switch branch, small
     enough that the ~K*C/2 expected pad waste stays a minor fraction of n."""
@@ -250,6 +258,24 @@ def trace_paths(
     if radiance_cb is not None:
         unroll = True
 
+    # fused-ray pipelining (AKR_FUSE_RAYS=1): bounce k's NEE shadow ray and
+    # bounce k+1's closest-hit ray trace in ONE 2N-lane traversal call —
+    # shadow rays ride as closest-hit lanes capped at the shadow distance
+    # (occluded <=> a hit exists in range), and the pending NEE contribution
+    # resolves one bounce later. Per-bounce fixed traversal costs (morton
+    # sort, [B, K] cull, candidate-order argsort, round machinery) are paid
+    # once instead of twice; sample draw order and every contribution value
+    # are unchanged (only the float accumulation order moves — statistically
+    # identical, A/B-tested). Opaque scenes only (alpha needs the restart
+    # chains) and not under per-depth taps (GPT unrolls).
+    fused = (
+        _fuse_rays_mode()
+        and not unroll
+        and settings.use_nee
+        and a.lights.num_lights > 0
+        and not scene.has_alpha
+    )
+
     state = {
         "ray_o": ray_o,
         "ray_d": ray_d,
@@ -264,6 +290,46 @@ def trace_paths(
         "first_t": jnp.full((n,), RAY_TMAX),
         "sampler": sampler,
     }
+    if fused:
+        state.update({
+            "p_ro": jnp.zeros((n, 3)),
+            "p_wi": jnp.zeros((n, 3)),
+            "p_dist": jnp.zeros((n,)),
+            "p_contrib": jnp.zeros((n, 3)),
+            "p_valid": jnp.zeros((n,), bool),
+            "p_ex0": jnp.full((n,), -1, jnp.int32),
+            "p_ex1": jnp.full((n,), -1, jnp.int32),
+        })
+
+    def fused_trace(st):
+        """One traversal for [path rays | pending shadow rays]: returns the
+        path-ray Hit and the pending lanes' occlusion booleans."""
+        from ..accel.trace import Hit
+
+        o2 = jnp.concatenate([st["ray_o"], st["p_ro"]], axis=0)
+        d2 = jnp.concatenate([st["ray_d"], st["p_wi"]], axis=0)
+        tmax2 = jnp.concatenate([
+            jnp.where(st["active"], RAY_TMAX, -1.0),
+            jnp.where(st["p_valid"], st["p_dist"], -1.0),
+        ])
+        ex0 = jnp.concatenate([st["exclude"], st["p_ex0"]])
+        ex1 = jnp.concatenate(
+            [jnp.full((n,), -1, jnp.int32), st["p_ex1"]]
+        )
+        hit2 = scene.intersect(
+            o2, d2, jnp.zeros((2 * n,)), tmax2, exclude0=ex0, exclude1=ex1
+        )
+        hit = Hit(t=hit2.t[:n], tri_id=hit2.tri_id[:n],
+                  bary=hit2.bary[:n], valid=hit2.valid[:n])
+        return hit, hit2.valid[n:]
+
+    def resolve_pending(st, occluded):
+        ok = st["p_valid"] & ~occluded
+        st["radiance"] = st["radiance"] + jnp.where(
+            ok[..., None], st["p_contrib"], 0.0
+        )
+        st["p_valid"] = jnp.zeros((n,), bool)
+        return st
 
     def add_emission(st, depth, si, lane_hit, wo):
         """Surface-light hit + MIS weighting (pt.rs:230-258). depth: jnp scalar."""
@@ -290,11 +356,15 @@ def trace_paths(
         depth = jnp.asarray(depth, jnp.int32)
         # dead lanes trace with tmax = -1: a pure perf hint (they were already
         # masked out) that lets the pair-sweep's per-block horizon skip them
-        hit = scene.intersect_alpha(
-            st["ray_o"], st["ray_d"], jnp.zeros((n,)),
-            jnp.where(st["active"], RAY_TMAX, -1.0),
-            exclude0=st["exclude"],
-        )
+        if fused:
+            hit, occ_prev = fused_trace(st)
+            st = resolve_pending(st, occ_prev)
+        else:
+            hit = scene.intersect_alpha(
+                st["ray_o"], st["ray_d"], jnp.zeros((n,)),
+                jnp.where(st["active"], RAY_TMAX, -1.0),
+                exclude0=st["exclude"],
+            )
         lane_hit = st["active"] & hit.valid
         st["active"] = lane_hit
         si = scene.surface_interaction(jnp.maximum(hit.tri_id, 0), hit.bary)
@@ -357,7 +427,17 @@ def trace_paths(
         st["first_albedo"] = jnp.where(first_mask[..., None], sh["albedo"], st["first_albedo"])
 
         # --- shadow ray + add direct (pt.rs:504-513) ---
-        if ls is not None:
+        if ls is not None and fused:
+            # stash the shadow ray + contribution; the NEXT bounce's fused
+            # trace resolves occlusion (final_emission flushes the last one)
+            st["p_ro"] = ls.shadow_ro
+            st["p_wi"] = ls.wi
+            st["p_dist"] = ls.shadow_dist
+            st["p_valid"] = light_valid
+            st["p_contrib"] = st["beta"] * sh["direct"]
+            st["p_ex0"] = si["tri_id"].astype(jnp.int32)
+            st["p_ex1"] = ls.dest_tri
+        elif ls is not None:
             occluded = scene.occlude_alpha(
                 ls.shadow_ro, ls.wi, jnp.zeros((n,)),
                 jnp.where(light_valid, ls.shadow_dist, -1.0),
@@ -398,11 +478,16 @@ def trace_paths(
     def final_emission(st):
         """Last iteration: intersect + surface-light only (pt.rs depth==max_depth)."""
         depth = jnp.asarray(settings.max_depth, jnp.int32)
-        hit = scene.intersect_alpha(
-            st["ray_o"], st["ray_d"], jnp.zeros((n,)),
-            jnp.where(st["active"], RAY_TMAX, -1.0),
-            exclude0=st["exclude"],
-        )
+        if fused:
+            # also flushes the last bounce's pending shadow ray
+            hit, occ_prev = fused_trace(st)
+            st = resolve_pending(st, occ_prev)
+        else:
+            hit = scene.intersect_alpha(
+                st["ray_o"], st["ray_d"], jnp.zeros((n,)),
+                jnp.where(st["active"], RAY_TMAX, -1.0),
+                exclude0=st["exclude"],
+            )
         lane_hit = st["active"] & hit.valid
         si = scene.surface_interaction(jnp.maximum(hit.tri_id, 0), hit.bary)
         first_mask = (depth == 0) & lane_hit

@@ -70,7 +70,12 @@ def max_wavefront_lanes(scene: Scene) -> int:
         # spp sizing cannot subdivide) under the ~60 s relay watchdog
         budget_elems = 1 << 27
         cap = (budget_elems // max(k_full, 1)) * BLOCK
-        return max(1 << 16, min(cap, 1 << 20))
+        cap = max(1 << 16, min(cap, 1 << 20))
+        from .common import _fuse_rays_mode
+
+        if _fuse_rays_mode():
+            cap = max(1 << 15, cap // 2)  # fused traversals carry 2N lanes
+        return cap
     budget_elems = 1 << 26  # 256 MB f32 [lanes, K] buffers; also keeps one
     # block's dispatch under the ~60 s relay watchdog
     return max(1 << 16, budget_elems // k_eff)

@@ -142,6 +142,27 @@ def _best_config(scene, res_w, res_h, spp, max_depth):
                 results[key] = ("error: " + str(e)[:80],)
             finally:
                 os.environ.pop("AKR_RNG", None)
+    # fused-ray pipelining on top of the winning pass RNG (shadow + next
+    # bounce in one traversal, common.py trace_paths fused mode)
+    def _mp(key):
+        v = results.get(key)
+        return v[0] if v and isinstance(v[0], float) else 0.0
+
+    best_rng = "hash" if _mp("pass,hash") > _mp("pass,pcg") else "pcg"
+    key = f"pass,{best_rng}+fuse"
+    try:
+        os.environ["AKR_FUSE_RAYS"] = "1"
+        if best_rng == "hash":
+            os.environ["AKR_RNG"] = "hash"
+        out = _measure(scene, res_w, res_h, spp, max_depth)
+        results[key] = (out[0], out[1])
+        if out[0] > best[1]:
+            best = (key, out[0], out[1], out[2])
+    except Exception as e:
+        results[key] = ("error: " + str(e)[:80],)
+    finally:
+        os.environ.pop("AKR_FUSE_RAYS", None)
+        os.environ.pop("AKR_RNG", None)
     return best, results
 
 
@@ -241,6 +262,8 @@ def main():
             try:
                 if "hash" in cfg_name:
                     os.environ["AKR_RNG"] = "hash"
+                if "fuse" in cfg_name:
+                    os.environ["AKR_FUSE_RAYS"] = "1"
                 if cfg_name.startswith("wf"):
                     mp_c, dt_c = _measure_wavefront(
                         sc, sc.camera.width, sc.camera.height, spp_c, max_depth
@@ -251,11 +274,13 @@ def main():
                     )
             except Exception:
                 os.environ.pop("AKR_RNG", None)
+                os.environ.pop("AKR_FUSE_RAYS", None)
                 mp_c, dt_c, cost_c = _measure(
                     sc, sc.camera.width, sc.camera.height, spp_c, max_depth
                 )
             finally:
                 os.environ.pop("AKR_RNG", None)
+                os.environ.pop("AKR_FUSE_RAYS", None)
             est_c = _flops_per_path(sc, max_depth) * mp_c * 1e6
             detail["classroom"] = {
                 "mpaths_s": round(mp_c, 3),

@@ -218,3 +218,24 @@ def test_gpt_shift_modes_finite_on_glossy():
         img, _ = render_gpt(scene, GPTConfig(**cfg), shift_mode=mode)
         assert np.isfinite(img).all(), mode
         assert float(np.mean(img)) > 0.01, mode
+
+
+def test_fused_rays_matches_sequential(cbox16):
+    """AKR_FUSE_RAYS pipelines bounce k's shadow ray into bounce k+1's
+    traversal (common.py::trace_paths fused mode). Every contribution VALUE
+    is unchanged — only the float accumulation order moves — so the images
+    must agree to accumulation-order tolerance."""
+    import os
+
+    from akari_render_tpu.integrators.pt import render_pt
+
+    cfg = PTConfig(spp=8, max_depth=6, rr_depth=3, spp_per_pass=8)
+    img_seq, _ = render_pt(cbox16, cfg)
+    os.environ["AKR_FUSE_RAYS"] = "1"
+    try:
+        img_fused, _ = render_pt(cbox16, cfg)
+    finally:
+        del os.environ["AKR_FUSE_RAYS"]
+    assert np.isfinite(img_fused).all()
+    assert np.allclose(img_seq, img_fused, rtol=1e-4, atol=1e-5), (
+        float(np.max(np.abs(img_seq - img_fused))))
