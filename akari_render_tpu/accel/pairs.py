@@ -299,13 +299,22 @@ def mt_block_update(tri, x, o_ref, d_ref, lim_ref, ex_ref, out_ref, *,
 
 
 def _sweep_ent_kernel(tri_ix_ref, xf_ix_ref, o_ref, d_ref, lim_ref, ex_ref,
-                      cent_ref, tri_ref, xf_ref, best_in_ref, out_ref, *,
-                      any_hit, dummy_row):
+                      cent_ref, *rest, any_hit, dummy_row, g):
     """_sweep_kernel + an in-kernel horizon early-out: the candidate's
     conservative entry distance is checked against the CURRENT block horizon
     (max live best-t), so candidates made obsolete by earlier hits in the
     same sweep are skipped without compute (their prefetch is pipelined
-    anyway). Shared by the pair sweep and the wide-BVH walk's sweep."""
+    anyway). Shared by the pair sweep and the wide-BVH walk's sweep.
+
+    g candidates are processed per grid step (g (tri, xf) ref pairs ride the
+    pipeline): the ~3 us/step Mosaic fixed cost (round-3 profile; the MT
+    math itself is ~0.2 us) amortizes over g clusters. Order within the
+    step matches the candidate order, so first-tested tie semantics are
+    unchanged; the horizon re-tightens between sub-steps."""
+    tri_refs = rest[:g]
+    xf_refs = rest[g:2 * g]
+    best_in_ref = rest[2 * g]
+    out_ref = rest[2 * g + 1]
     m = pl.program_id(1)
 
     @pl.when(m == 0)
@@ -313,18 +322,30 @@ def _sweep_ent_kernel(tri_ix_ref, xf_ix_ref, o_ref, d_ref, lim_ref, ex_ref,
         out_ref[:] = best_in_ref[:]
 
     b = pl.program_id(0)
-    if any_hit:
-        t1 = jnp.where(out_ref[1:2, :] >= 0.0, jnp.float32(-3e38),
-                       lim_ref[1:2, :])
-    else:
-        t1 = out_ref[0:1, :]
-    horizon = jnp.max(t1)
-    valid = (tri_ix_ref[b, m] < dummy_row) & (cent_ref[0, 0, m] <= horizon)
+    for i in range(g):
+        if any_hit:
+            t1 = jnp.where(out_ref[1:2, :] >= 0.0, jnp.float32(-3e38),
+                           lim_ref[1:2, :])
+        else:
+            t1 = out_ref[0:1, :]
+        horizon = jnp.max(t1)
+        idx = m * g + i
+        valid = (tri_ix_ref[b, idx] < dummy_row) & (
+            cent_ref[0, 0, idx] <= horizon)
 
-    @pl.when(valid)
-    def _test():
-        mt_block_update(tri_ref[0], xf_ref[0], o_ref, d_ref, lim_ref, ex_ref,
-                        out_ref, any_hit=any_hit)
+        @pl.when(valid)
+        def _test(i=i):
+            mt_block_update(tri_refs[i][0], xf_refs[i][0], o_ref, d_ref,
+                            lim_ref, ex_ref, out_ref, any_hit=any_hit)
+
+
+def _sweep_group() -> int:
+    import os
+
+    try:
+        return max(1, int(os.environ.get("AKR_SWEEP_G", "4")))
+    except ValueError:
+        return 4
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
@@ -335,29 +356,49 @@ def _sweep_ent(tri_ix, xf_ix, o_soa, d_soa, lim, ex, cent, tri, xf_tab,
     c_size = tri.shape[1]
     dummy_row = tri.shape[0] - 1
     maxc = tri_ix.shape[1]
+    g = min(_sweep_group(), maxc)
+    if maxc % g:  # pad the candidate tables to a group multiple
+        padc = ((maxc + g - 1) // g) * g - maxc
+        tri_ix = jnp.pad(tri_ix, ((0, 0), (0, padc)),
+                         constant_values=dummy_row)
+        xf_ix = jnp.pad(xf_ix, ((0, 0), (0, padc)))
+        cent = jnp.pad(cent, ((0, 0), (0, 0), (0, padc)),
+                       constant_values=jnp.inf)
+        maxc += padc
+
+    def tri_spec(i):
+        return pl.BlockSpec((1, c_size, 12),
+                            lambda b, m, c, x, i=i: (c[b, m * g + i], 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def xf_spec(i):
+        return pl.BlockSpec((1, 1, 16),
+                            lambda b, m, c, x, i=i: (x[b, m * g + i], 0, 0),
+                            memory_space=pltpu.VMEM)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # tri_ix [B, MAXC], xf_ix [B, MAXC]
-        grid=(B, maxc),
+        grid=(B, maxc // g),
         in_specs=[
             pl.BlockSpec((3, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, maxc), lambda b, m, c, x: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, c_size, 12), lambda b, m, c, x: (c[b, m], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 16), lambda b, m, c, x: (x[b, m], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
-        ],
+        ] + [tri_spec(i) for i in range(g)]
+          + [xf_spec(i) for i in range(g)]
+          + [pl.BlockSpec((4, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((4, BLOCK), lambda b, m, c, x: (0, b),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         functools.partial(_sweep_ent_kernel, any_hit=any_hit,
-                          dummy_row=dummy_row),
+                          dummy_row=dummy_row, g=g),
         out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tri_ix, xf_ix, o_soa, d_soa, lim, ex, cent, tri, xf_tab, best_in)
+    )(tri_ix, xf_ix, o_soa, d_soa, lim, ex, cent,
+      *([tri] * g), *([xf_tab] * g), best_in)
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
