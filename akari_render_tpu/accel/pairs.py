@@ -243,6 +243,11 @@ def mt_block_update(tri, x, o_ref, d_ref, lim_ref, ex_ref, out_ref, *,
         id_off = x[0, 12]
         tmin = lim_ref[0:1, :]
         ex0, ex1, ex2 = ex_ref[0:1, :], ex_ref[1:2, :], ex_ref[2:3, :]
+        # row 3: per-LANE any-hit flag (fused shadow lanes): on first hit the
+        # lane's best_t drops to -3e38 — no later candidate can beat it, the
+        # per-ray refine and block horizon stop counting it, and the recorded
+        # id >= 0 is the occlusion bit (the caller reads only `valid`)
+        sh = ex_ref[3, :] > 0.5
         best_t = out_ref[0, :]
         best_id = out_ref[1, :]
         best_u = out_ref[2, :]
@@ -292,7 +297,8 @@ def mt_block_update(tri, x, o_ref, d_ref, lim_ref, ex_ref, out_ref, *,
             u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
             v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=0)
             g_sel = jnp.sum(jnp.where(sel, jnp.broadcast_to(gidw, t_m.shape), 0.0), axis=0)
-            out_ref[0, :] = jnp.where(better, t_min, best_t)
+            out_ref[0, :] = jnp.where(
+                better, jnp.where(sh, jnp.float32(-3e38), t_min), best_t)
             out_ref[1, :] = jnp.where(better, g_sel, best_id)
             out_ref[2, :] = jnp.where(better, u_sel, best_u)
             out_ref[3, :] = jnp.where(better, v_sel, best_v)
@@ -415,7 +421,7 @@ def _sweep(tri_ix, xf_ix, o_soa, d_soa, lim, ex, tri, xf_tab, best_in,
             pl.BlockSpec((3, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c_size, 12), lambda b, m, c, x: (c[b, m], 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 16), lambda b, m, c, x: (x[b, m], 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
@@ -433,11 +439,15 @@ def _sweep(tri_ix, xf_ix, o_soa, d_soa, lim, ex, tri, xf_tab, best_in,
 
 def intersect_pairs(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
                     exclude2=None, any_hit=False, raw=False, interpret=False,
-                    maxc=MAXC):
+                    maxc=MAXC, any_hit_mask=None):
     """Exact closest-hit (or any-hit) via sorted blocks + pair sweep.
 
     cl: ClusterArrays (accel/cluster.py). Returns Hit / occluded like
     intersect_clusters; raw returns the (t, tri, u, v, occ) carry.
+    any_hit_mask: optional [n] bool — PER-LANE any-hit semantics inside a
+    closest-hit call (fused shadow lanes): a flagged lane retires at its
+    FIRST in-range hit (best_t -> -3e38, so refine/horizon stop counting
+    it); callers read only `valid` for those lanes.
     """
     n = o.shape[0]
     K = cl.num_clusters
@@ -463,7 +473,10 @@ def intersect_pairs(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
     def pack_ex(e):
         return srt(e.astype(jnp.float32), -1.0) if e is not None else jnp.full((n_pad,), -1.0)
 
-    ex = jnp.stack([pack_ex(exclude0), pack_ex(exclude1), pack_ex(exclude2)])
+    sh_row = (srt(any_hit_mask.astype(jnp.float32), 0.0)
+              if any_hit_mask is not None else jnp.zeros((n_pad,)))
+    ex = jnp.stack([pack_ex(exclude0), pack_ex(exclude1), pack_ex(exclude2),
+                    sh_row])
     o_soa = os_.T
     d_soa = ds_.T
     lim = jnp.stack([tmins, tlims])

@@ -401,7 +401,8 @@ def intersect_wide(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
         return (srt(e.astype(jnp.float32), -1.0) if e is not None
                 else jnp.full((n_pad,), -1.0))
 
-    ex = jnp.stack([pack_ex(exclude0), pack_ex(exclude1), pack_ex(exclude2)])
+    ex = jnp.stack([pack_ex(exclude0), pack_ex(exclude1), pack_ex(exclude2),
+                    jnp.zeros((n_pad,))])  # row 3: per-lane any-hit (unused)
     lim = jnp.stack([tmins, tlims])
     o_soa = os_.T
     d_soa = ds_.T

@@ -317,7 +317,10 @@ def trace_paths(
             [jnp.full((n,), -1, jnp.int32), st["p_ex1"]]
         )
         hit2 = scene.intersect(
-            o2, d2, jnp.zeros((2 * n,)), tmax2, exclude0=ex0, exclude1=ex1
+            o2, d2, jnp.zeros((2 * n,)), tmax2, exclude0=ex0, exclude1=ex1,
+            any_hit_mask=jnp.concatenate(
+                [jnp.zeros((n,), bool), jnp.ones((n,), bool)]
+            ),
         )
         hit = Hit(t=hit2.t[:n], tri_id=hit2.tri_id[:n],
                   bary=hit2.bary[:n], valid=hit2.valid[:n])

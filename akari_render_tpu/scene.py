@@ -92,16 +92,22 @@ class Scene:
     PALLAS_MAX_TRIS = 16384
     BVH_MIN_TRIS = 32768
 
-    def intersect(self, o, d, tmin, tmax, exclude0=None, exclude1=None, exclude2=None):
+    def intersect(self, o, d, tmin, tmax, exclude0=None, exclude1=None, exclude2=None,
+                  any_hit_mask=None):
         """Closest-hit through whichever accel the scene carries
         (the rtx::Accel::intersect analog, scene.rs:111-153). Scenes with an
         instanced part min-combine the flat-soup hit with the two-level hit;
         on TPU the unified pair sweep covers flat clusters + instances in one
-        traversal."""
+        traversal.
+
+        any_hit_mask: optional per-lane any-hit flags (fused shadow lanes) —
+        honored by the cluster tier; other tiers run closest-hit for those
+        lanes, which is correct (the caller reads only `valid`)."""
         a = self.arrays
         if a.unified is not None and _use_pairs():
             hit_u = _cluster_trace(
-                a.unified, o, d, tmin, tmax, exclude0, exclude1, exclude2
+                a.unified, o, d, tmin, tmax, exclude0, exclude1, exclude2,
+                any_hit_mask=any_hit_mask,
             )
             if a.bvh is not None:  # unified already includes the flat clusters
                 return hit_u
@@ -118,7 +124,8 @@ class Scene:
                 hit,
                 hit_u,
             )
-        hit = self._intersect_flat(o, d, tmin, tmax, exclude0, exclude1, exclude2)
+        hit = self._intersect_flat(o, d, tmin, tmax, exclude0, exclude1,
+                                   exclude2, any_hit_mask)
         if self.arrays.instanced is None:
             return hit
         import jax
@@ -139,7 +146,7 @@ class Scene:
         )
 
     def _intersect_flat(self, o, d, tmin, tmax, exclude0=None, exclude1=None,
-                        exclude2=None):
+                        exclude2=None, any_hit_mask=None):
         a = self.arrays
         if self.num_tris == 0:
             from .accel.trace import Hit
@@ -168,7 +175,8 @@ class Scene:
             )
         if _use_pairs():
             return _cluster_trace(
-                a.bvh["clusters"], o, d, tmin, tmax, exclude0, exclude1, exclude2
+                a.bvh["clusters"], o, d, tmin, tmax, exclude0, exclude1,
+                exclude2, any_hit_mask=any_hit_mask,
             )
         from .accel.cluster import intersect_clusters
 
@@ -578,10 +586,12 @@ _WIDE_DEFAULT = "0"
 
 
 def _cluster_trace(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
-                   exclude2=None, any_hit=False):
+                   exclude2=None, any_hit=False, any_hit_mask=None):
     """One cluster-tier traversal: wide-BVH packet kernel when attached,
-    else the pair sweep (the rtx::Accel query analog, scene.rs:42-110)."""
-    if _use_wide(cl):
+    else the pair sweep (the rtx::Accel query analog, scene.rs:42-110).
+    any_hit_mask (per-LANE any-hit inside a closest call, for fused shadow
+    lanes) is a pairs-only feature — it forces the pairs path."""
+    if any_hit_mask is None and _use_wide(cl):
         from .accel.wide import intersect_wide
 
         return intersect_wide(
@@ -590,7 +600,8 @@ def _cluster_trace(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
     from .accel.pairs import intersect_pairs
 
     return intersect_pairs(
-        cl, o, d, tmin, tmax, exclude0, exclude1, exclude2, any_hit=any_hit
+        cl, o, d, tmin, tmax, exclude0, exclude1, exclude2, any_hit=any_hit,
+        any_hit_mask=any_hit_mask,
     )
 
 

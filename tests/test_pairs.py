@@ -144,3 +144,22 @@ def test_refine_kernel_matches_xla_reference():
         jnp.stack([jnp.asarray(tmin), jnp.asarray(t1)]), interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(got) > 0, want)
+
+
+def test_per_lane_any_hit_mask(soup, clusters, rays):
+    """any_hit_mask lanes (fused shadow rays) must report exactly the
+    brute-force occlusion bit; unmasked lanes in the SAME call must still
+    return the exact closest hit (the masked lanes' early retirement must
+    not corrupt shared block state)."""
+    v0, e1, e2 = (jnp.asarray(a) for a in soup)
+    o, d, tmin, tmax = rays
+    n = o.shape[0]
+    mask = jnp.asarray((np.arange(n) % 2) == 1)  # half shadow, interleaved
+    got = intersect_pairs(clusters, o, d, tmin, tmax, interpret=True, maxc=6,
+                          any_hit_mask=mask)
+    ref_occ = occlude_brute_force(o, d, tmin, tmax, v0, e1, e2)
+    ref = intersect_brute_force(o, d, tmin, tmax, v0, e1, e2)
+    m = np.asarray(mask)
+    assert np.array_equal(np.asarray(got.valid)[m], np.asarray(ref_occ)[m])
+    assert np.array_equal(np.asarray(got.tri_id)[~m], np.asarray(ref.tri_id)[~m])
+    assert np.allclose(np.asarray(got.t)[~m], np.asarray(ref.t)[~m])

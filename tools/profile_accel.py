@@ -174,7 +174,7 @@ def main():
     o_soa = pad_soa(os_, 0.0).T
     d_soa = pad_soa(ds_, 1.0).T
     lim = jnp.stack([jnp.zeros(n_pad), jnp.full(n_pad, 1e20)])
-    exx = jnp.full((3, n_pad), -1.0)
+    exx = jnp.full((4, n_pad), -1.0).at[3].set(0.0)
     best0 = jnp.stack([jnp.full(n_pad, 1e20), jnp.full(n_pad, -1.0),
                        jnp.zeros(n_pad), jnp.zeros(n_pad)])
     f_sweep = jax.jit(lambda ti, xi, b: _sweep(ti, xi, o_soa, d_soa, lim, exx,
