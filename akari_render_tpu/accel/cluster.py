@@ -30,7 +30,13 @@ import numpy as np
 
 from ..core.math import RAY_TMAX
 
-CLUSTER_SIZE = 128
+import os as _os
+
+# AKR_CLUSTER_SIZE: scene-build override for end-to-end config sweeps
+# (tools/sweep_cluster_size.py measured C=512/MAXC=8 ~1.8x the default on
+# the 2M-tri heightfield pre-cursor-walk; the production default changes
+# only with a recorded end-to-end win)
+CLUSTER_SIZE = int(_os.environ.get("AKR_CLUSTER_SIZE", "128"))
 SELECT_M = 8
 CULL_CHUNK = 1024
 # hierarchical cull: group G consecutive (BVH-leaf-ordered -> spatially

@@ -54,7 +54,8 @@ BLOCK = int(_os.environ.get("AKR_BLOCK", "512"))  # rays per sorted block
 # (VMEM-resident in the sweep); import-time env override for experiments —
 # smaller blocks shrink each block's candidate union (less wasted MT per
 # ray) at the cost of more sweep grid steps
-MAXC = 64  # candidate clusters swept per block per round
+MAXC = int(_os.environ.get("AKR_MAXC", "64"))  # candidate clusters swept
+# per block per round (import-time env override for end-to-end sweeps)
 WINDOW_MULT = 16  # conservative candidates examined per swept candidate:
 # each round walks a WINDOW = MAXC*WINDOW_MULT slice of the block's
 # conservative enumeration and sweeps only members that pass >= 1 per-ray
