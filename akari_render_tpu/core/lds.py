@@ -253,6 +253,11 @@ def make_sampler(config: dict, pixel_ids, sample_index, seed_extra: int = 0):
     if t == "independent" and os.environ.get("AKR_RNG") == "hash":
         t = "hash"  # stateless counter-based RNG (samplers.HashSampler)
     seed = int((config or {}).get("seed", 0)) ^ seed_extra
+    # scramble the seed before it meets the sample index: a raw XOR only
+    # PERMUTES the sample-index set (seeds 0 and 1 average the same 2k-spp
+    # sample sets), which silently defeats multi-seed studies. seed 0 is
+    # unchanged, so every recorded golden statistic stays valid.
+    seed = (seed * 0x9E3779B9) & 0xFFFFFFFF
     if t == "pmj02bn":
         return Pmj02Sampler.new(pixel_ids, sample_index, seed=seed)
     if t in ("sobol", "lds"):

@@ -71,7 +71,9 @@ def gpt_sample_films(scene: Scene, config: GPTConfig, filt, settings, D: int,
         [(pix_lin % width).astype(jnp.int32), (pix_lin // width).astype(jnp.int32)], -1
     )
     # PSS vector per pixel for this sample
-    rng = Pcg32.new_seq(U64(sample_idx.astype(jnp.uint32) ^ jnp.uint32(seed), pix_lin))
+    # scrambled seed (seed 0 unchanged): raw XOR only permutes sample sets
+    seed_s = (seed * 0x9E3779B9) & 0xFFFFFFFF
+    rng = Pcg32.new_seq(U64(sample_idx.astype(jnp.uint32) ^ jnp.uint32(seed_s), pix_lin))
     us = []
     for _ in range(D):
         rng, u = pcg32_next_f32(rng)

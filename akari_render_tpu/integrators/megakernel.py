@@ -399,7 +399,10 @@ def _make_kernel(scene, settings, spp_chunk, seed, has_spec, has_metal,
         def one_sample(s, acc):
             ar, ag, ab, aw = acc
             sample_idx = (s0 + s).astype(jnp.uint32)
-            key = _hash_u64(sample_idx ^ _u32(seed), pix.astype(jnp.uint32))
+            # scrambled seed (0 unchanged): raw XOR only permutes sample sets
+            key = _hash_u64(
+                sample_idx ^ _u32((seed * 0x9E3779B9) & 0xFFFFFFFF),
+                pix.astype(jnp.uint32))
             ctr = jnp.zeros((B,), jnp.uint32)
 
             # camera sample: 2 dims (filter jitter)
