@@ -456,6 +456,16 @@ def intersect_pairs(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
     B = n_pad // BLOCK
     pad = n_pad - n
 
+    # sanitize non-finite rays (a dead lane can legitimately carry NaN from
+    # an invalid BSDF sample): one NaN origin/direction would otherwise
+    # poison its whole block's interval summaries (olo/ohi/ilo/ihi) and the
+    # conservative cull would silently reject EVERY candidate for the
+    # block's live lanes. Non-finite lanes trace as dead (tmax = -1).
+    finite = jnp.isfinite(o).all(-1) & jnp.isfinite(d).all(-1)
+    o = jnp.where(finite[:, None], o, 0.0)
+    d = jnp.where(finite[:, None], d, 1.0)
+    tmax = jnp.where(finite, tmax, -1.0)
+
     scene_lo = cl.cbmin.min(axis=0)
     scene_hi = cl.cbmax.max(axis=0)
     keys = _morton_keys(o, d, scene_lo[None, :], scene_hi[None, :])

@@ -383,6 +383,13 @@ def intersect_wide(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
     B = n_pad // BLOCK
     pad = n_pad - n
 
+    # non-finite rays trace as dead (see pairs.py: one NaN lane would poison
+    # nothing here per-lane, but keep the two drivers' contracts identical)
+    finite = jnp.isfinite(o).all(-1) & jnp.isfinite(d).all(-1)
+    o = jnp.where(finite[:, None], o, 0.0)
+    d = jnp.where(finite[:, None], d, 1.0)
+    tmax = jnp.where(finite, tmax, -1.0)
+
     scene_lo = cl.cbmin.min(axis=0)
     scene_hi = cl.cbmax.max(axis=0)
     keys = _morton_keys(o, d, scene_lo[None, :], scene_hi[None, :])

@@ -163,3 +163,28 @@ def test_per_lane_any_hit_mask(soup, clusters, rays):
     assert np.array_equal(np.asarray(got.valid)[m], np.asarray(ref_occ)[m])
     assert np.array_equal(np.asarray(got.tri_id)[~m], np.asarray(ref.tri_id)[~m])
     assert np.allclose(np.asarray(got.t)[~m], np.asarray(ref.t)[~m])
+
+
+def test_nan_dead_lane_does_not_poison_block(soup, clusters, rays):
+    """A dead lane carrying NaN (legal: invalid BSDF samples leave garbage
+    in retired lanes) must not poison its block's interval summaries — the
+    regression here was the conservative cull rejecting EVERY candidate for
+    the whole block, silently missing all live-lane hits."""
+    v0, e1, e2 = (jnp.asarray(a) for a in soup)
+    o, d, tmin, tmax = rays
+    o = np.asarray(o).copy()
+    d = np.asarray(d).copy()
+    tmax = np.asarray(tmax).copy()
+    o[5] = np.nan
+    d[5] = np.nan
+    tmax[5] = -1.0
+    got = intersect_pairs(clusters, jnp.asarray(o), jnp.asarray(d), tmin,
+                          jnp.asarray(tmax), interpret=True, maxc=6)
+    ref = intersect_brute_force(
+        jnp.asarray(np.nan_to_num(o)), jnp.asarray(np.nan_to_num(d, nan=1.0)),
+        tmin, jnp.asarray(tmax), v0, e1, e2)
+    live = np.ones(o.shape[0], bool)
+    live[5] = False
+    assert np.array_equal(np.asarray(got.tri_id)[live],
+                          np.asarray(ref.tri_id)[live])
+    assert not bool(np.asarray(got.valid)[5])
