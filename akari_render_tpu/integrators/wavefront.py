@@ -49,7 +49,8 @@ from .common import PTSettings, _emission_at, _tree_select, dispatch_shade
 from .pt import max_wavefront_lanes
 
 
-def _fresh_lanes(scene: Scene, filt, width, height, item, sampler_config, seed):
+def _fresh_lanes(scene: Scene, filt, width, height, item, sampler_config,
+                 seed, fused=False):
     """Build lane state for queue items (item = sample * npix + pixel)."""
     from ..core.lds import make_sampler
 
@@ -69,7 +70,7 @@ def _fresh_lanes(scene: Scene, filt, width, height, item, sampler_config, seed):
         + off
     )
     ray_o, ray_d = generate_rays(scene.camera, p_film)
-    return {
+    lanes = {
         "pix": pix.astype(jnp.int32),
         "fw": fw,
         "ray_o": ray_o,
@@ -83,22 +84,68 @@ def _fresh_lanes(scene: Scene, filt, width, height, item, sampler_config, seed):
         "depth": jnp.zeros((n,), jnp.int32),
         "sampler": sampler,
     }
+    if fused:  # pending NEE shadow ray (resolved by the NEXT bounce's trace)
+        lanes.update({
+            "p_ro": jnp.zeros((n, 3)),
+            "p_wi": jnp.zeros((n, 3)),
+            "p_dist": jnp.zeros((n,)),
+            "p_contrib": jnp.zeros((n, 3)),
+            "p_valid": jnp.zeros((n,), bool),
+            "p_ex0": jnp.full((n,), -1, jnp.int32),
+            "p_ex1": jnp.full((n,), -1, jnp.int32),
+        })
+    return lanes
 
 
-def _bounce_perlane(scene: Scene, settings: PTSettings, st):
+def _resolve_pending(st, occluded):
+    """Fused mode: land the previous bounce's NEE contribution."""
+    ok = st["p_valid"] & ~occluded
+    st["radiance"] = st["radiance"] + jnp.where(
+        ok[..., None], st["p_contrib"], 0.0
+    )
+    st["p_valid"] = jnp.zeros_like(st["p_valid"])
+    return st
+
+
+def _bounce_perlane(scene: Scene, settings: PTSettings, st, fused=False):
     """One bounce at per-lane depth — the same math as common.trace_paths'
     bounce_body + final_emission folded together: a lane whose depth has
     reached max_depth takes the emission tap and dies (pt.rs depth==max
-    final intersect), everyone else continues through NEE/BSDF/RR."""
+    final intersect), everyone else continues through NEE/BSDF/RR.
+
+    fused: the previous bounce's pending shadow rays ride in the SAME
+    traversal as this bounce's closest-hit rays (per-lane any-hit lanes; see
+    common.trace_paths fused mode) and their contribution lands here."""
     a = scene.arrays
     n = st["pix"].shape[0]
     depth = st["depth"]
 
-    hit = scene.intersect_alpha(
-        st["ray_o"], st["ray_d"], jnp.zeros((n,)),
-        jnp.where(st["active"], RAY_TMAX, -1.0),
-        exclude0=st["exclude"],
-    )
+    if fused:
+        from ..accel.trace import Hit
+
+        o2 = jnp.concatenate([st["ray_o"], st["p_ro"]], axis=0)
+        d2 = jnp.concatenate([st["ray_d"], st["p_wi"]], axis=0)
+        tmax2 = jnp.concatenate([
+            jnp.where(st["active"], RAY_TMAX, -1.0),
+            jnp.where(st["p_valid"], st["p_dist"], -1.0),
+        ])
+        ex0 = jnp.concatenate([st["exclude"], st["p_ex0"]])
+        ex1 = jnp.concatenate([jnp.full((n,), -1, jnp.int32), st["p_ex1"]])
+        hit2 = scene.intersect(
+            o2, d2, jnp.zeros((2 * n,)), tmax2, exclude0=ex0, exclude1=ex1,
+            any_hit_mask=jnp.concatenate(
+                [jnp.zeros((n,), bool), jnp.ones((n,), bool)]
+            ),
+        )
+        hit = Hit(t=hit2.t[:n], tri_id=hit2.tri_id[:n],
+                  bary=hit2.bary[:n], valid=hit2.valid[:n])
+        st = _resolve_pending(st, hit2.valid[n:])
+    else:
+        hit = scene.intersect_alpha(
+            st["ray_o"], st["ray_d"], jnp.zeros((n,)),
+            jnp.where(st["active"], RAY_TMAX, -1.0),
+            exclude0=st["exclude"],
+        )
     lane_hit = st["active"] & hit.valid
     si = scene.surface_interaction(jnp.maximum(hit.tri_id, 0), hit.bary)
     wo = -st["ray_d"]
@@ -176,7 +223,15 @@ def _bounce_perlane(scene: Scene, settings: PTSettings, st):
     sh = dispatch_shade(scene, si, extra, shade, force_diffuse=settings.force_diffuse)
 
     # shadow ray + add direct (pt.rs:504-513)
-    if ls is not None:
+    if ls is not None and fused:
+        st["p_ro"] = ls.shadow_ro
+        st["p_wi"] = ls.wi
+        st["p_dist"] = ls.shadow_dist
+        st["p_valid"] = light_valid
+        st["p_contrib"] = st["beta"] * sh["direct"]
+        st["p_ex0"] = si["tri_id"].astype(jnp.int32)
+        st["p_ex1"] = ls.dest_tri
+    elif ls is not None:
         occluded = scene.occlude_alpha(
             ls.shadow_ro, ls.wi, jnp.zeros((n,)),
             jnp.where(light_valid, ls.shadow_dist, -1.0),
@@ -230,7 +285,7 @@ def _finish_radiance(settings: PTSettings, st):
 
 
 def _make_step(scene: Scene, settings: PTSettings, filt, width, height,
-               sampler_config, seed, pool):
+               sampler_config, seed, pool, fused=False):
     """Jitted persistent step: up to `iters` retire/refill/bounce rounds."""
     npix = width * height
 
@@ -239,7 +294,10 @@ def _make_step(scene: Scene, settings: PTSettings, filt, width, height,
 
         def refill(carry):
             accum, weight, lanes, qhead = carry
-            retire = (~lanes["active"]) & (lanes["pix"] >= 0)
+            done = ~lanes["active"]
+            if fused:  # a pending NEE must land before the lane retires
+                done = done & ~lanes["p_valid"]
+            retire = done & (lanes["pix"] >= 0)
             pixc = jnp.clip(lanes["pix"], 0, npix - 1)
             contrib = _finish_radiance(settings, lanes) * lanes["fw"][..., None]
             accum = accum.at[pixc].add(
@@ -247,13 +305,13 @@ def _make_step(scene: Scene, settings: PTSettings, filt, width, height,
             )
             weight = weight.at[pixc].add(jnp.where(retire, lanes["fw"], 0.0))
             # mark retired slots empty, then refill empties from the queue
-            empty = ~lanes["active"]
+            empty = done
             rank = jnp.cumsum(empty.astype(jnp.int32)) - empty.astype(jnp.int32)
             item = qhead + rank
             have = empty & (item < total)
             fresh = _fresh_lanes(
                 sc, filt, width, height, jnp.minimum(item, total - 1),
-                sampler_config, seed,
+                sampler_config, seed, fused,
             )
             lanes["pix"] = jnp.where(empty, -1, lanes["pix"])
             lanes["active"] = lanes["active"] & ~empty
@@ -263,19 +321,28 @@ def _make_step(scene: Scene, settings: PTSettings, filt, width, height,
 
         def cond(c):
             i, accum, weight, lanes, qhead = c
-            return (i < iters) & (
-                (qhead < total) | jnp.any(lanes["active"])
-            )
+            live = jnp.any(lanes["active"])
+            if fused:
+                live = live | jnp.any(lanes["p_valid"])
+            return (i < iters) & ((qhead < total) | live)
 
         def body(c):
             i, accum, weight, lanes, qhead = c
             accum, weight, lanes, qhead = refill((accum, weight, lanes, qhead))
-            lanes = _bounce_perlane(sc, settings, lanes)
+            lanes = _bounce_perlane(sc, settings, lanes, fused)
             return i + 1, accum, weight, lanes, qhead
 
         _, accum, weight, lanes, qhead = jax.lax.while_loop(
             cond, body, (jnp.int32(0), accum, weight, lanes, qhead)
         )
+        if fused:  # flush outstanding pending shadows before retiring lanes
+            n = lanes["pix"].shape[0]
+            occluded = sc.occlude_alpha(
+                lanes["p_ro"], lanes["p_wi"], jnp.zeros((n,)),
+                jnp.where(lanes["p_valid"], lanes["p_dist"], -1.0),
+                exclude0=lanes["p_ex0"], exclude1=lanes["p_ex1"],
+            )
+            lanes = _resolve_pending(lanes, occluded)
         # flush lanes that died on the capped last bounce without waiting for
         # the next dispatch's refill (keeps the final dispatch's tail exact)
         retire = (~lanes["active"]) & (lanes["pix"] >= 0)
@@ -293,10 +360,11 @@ def _make_step(scene: Scene, settings: PTSettings, filt, width, height,
 _STEPS: dict = {}  # (scene id, static config) -> (jitted step, scene ref)
 
 
-def _empty_lanes(scene: Scene, filt, width, height, pool, sampler_config, seed):
+def _empty_lanes(scene: Scene, filt, width, height, pool, sampler_config,
+                 seed, fused=False):
     lanes = _fresh_lanes(
         scene, filt, width, height, jnp.zeros((pool,), jnp.int32),
-        sampler_config, seed,
+        sampler_config, seed, fused,
     )
     lanes["pix"] = jnp.full((pool,), -1, jnp.int32)
     lanes["active"] = jnp.zeros((pool,), bool)
@@ -323,22 +391,31 @@ def render_pt_wavefront(scene: Scene, config: PTConfig, task=None,
     seed = task.seed if task else 0
     sampler_config = task.sampler if task else None
     pool = min(npix * config.spp, max_wavefront_lanes(scene))
+    from .common import _fuse_rays_mode
+
+    fused = (
+        _fuse_rays_mode()
+        and settings.use_nee
+        and scene.arrays.lights.num_lights > 0
+        and not scene.has_alpha
+    )
 
     # process-wide memo: repeat renders reuse the traced step (retracing the
     # bounce graph costs seconds of host time per call); the scene rides in
     # the value so its id() can't be recycled onto a live entry
     key = (id(scene), repr(settings), repr(filt), width, height,
-           repr(sampler_config), seed, pool)
+           repr(sampler_config), seed, pool, fused)
     if key not in _STEPS:
         _STEPS[key] = (
             _make_step(scene, settings, filt, width, height, sampler_config,
-                       seed, pool),
+                       seed, pool, fused),
             scene,
         )
     step = _STEPS[key][0]
     accum = jnp.zeros((npix, 3))
     weight = jnp.zeros((npix,))
-    lanes = _empty_lanes(scene, filt, width, height, pool, sampler_config, seed)
+    lanes = _empty_lanes(scene, filt, width, height, pool, sampler_config,
+                         seed, fused)
     qhead = jnp.int32(0)
     total = jnp.int32(npix * config.spp)
 

@@ -149,20 +149,22 @@ def _best_config(scene, res_w, res_h, spp, max_depth):
         return v[0] if v and isinstance(v[0], float) else 0.0
 
     best_rng = "hash" if _mp("pass,hash") > _mp("pass,pcg") else "pcg"
-    key = f"pass,{best_rng}+fuse"
-    try:
-        os.environ["AKR_FUSE_RAYS"] = "1"
-        if best_rng == "hash":
-            os.environ["AKR_RNG"] = "hash"
-        out = _measure(scene, res_w, res_h, spp, max_depth)
-        results[key] = (out[0], out[1])
-        if out[0] > best[1]:
-            best = (key, out[0], out[1], out[2])
-    except Exception as e:
-        results[key] = ("error: " + str(e)[:80],)
-    finally:
-        os.environ.pop("AKR_FUSE_RAYS", None)
-        os.environ.pop("AKR_RNG", None)
+    for name, fn in (("pass", _measure), ("wf", _measure_wavefront)):
+        key = f"{name},{best_rng}+fuse"
+        try:
+            os.environ["AKR_FUSE_RAYS"] = "1"
+            if best_rng == "hash":
+                os.environ["AKR_RNG"] = "hash"
+            out = fn(scene, res_w, res_h, spp, max_depth)
+            results[key] = (out[0], out[1])
+            if out[0] > best[1]:
+                best = (key, out[0], out[1],
+                        out[2] if len(out) > 2 else None)
+        except Exception as e:
+            results[key] = ("error: " + str(e)[:80],)
+        finally:
+            os.environ.pop("AKR_FUSE_RAYS", None)
+            os.environ.pop("AKR_RNG", None)
     return best, results
 
 

@@ -41,3 +41,24 @@ def test_deep_config_with_rr(cbox):
     img_p, _ = render_pt(cbox, cfg)
     img_w, _ = render_pt_wavefront(cbox, cfg)
     np.testing.assert_allclose(img_w, img_p, rtol=2e-4, atol=2e-5)
+
+
+def test_wavefront_fused_matches_sequential(cbox):
+    """AKR_FUSE_RAYS in the persistent wavefront: pending NEE shadows ride
+    the next bounce's traversal; contribution values unchanged (only float
+    accumulation order moves)."""
+    import os
+
+    from akari_render_tpu.config import PTConfig
+    from akari_render_tpu.integrators.wavefront import render_pt_wavefront
+
+    cfg = PTConfig(spp=8, max_depth=6, rr_depth=3, spp_per_pass=8)
+    img_seq, _ = render_pt_wavefront(cbox, cfg)
+    os.environ["AKR_FUSE_RAYS"] = "1"
+    try:
+        img_fused, _ = render_pt_wavefront(cbox, cfg)
+    finally:
+        del os.environ["AKR_FUSE_RAYS"]
+    assert np.isfinite(img_fused).all()
+    assert np.allclose(img_seq, img_fused, rtol=1e-4, atol=1e-5), (
+        float(np.max(np.abs(img_seq - img_fused))))
