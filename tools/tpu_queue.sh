@@ -8,14 +8,21 @@ say() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$LOG"; }
 
 say "=== queue start ==="
 
-# 0. liveness probe (first transfer can take minutes)
-say "probe..."
-timeout 900 python -c "
+# 0. liveness probe, retried until the relay answers (it wedges for long
+# stretches and then recovers — memory: 1-8 min first transfer when healthy)
+ALIVE=0
+for i in $(seq 1 40); do
+  say "probe attempt $i..."
+  if timeout 600 python -c "
 import jax, time
 t0=time.time()
 import jax.numpy as jnp
 x=jnp.ones((8,8)); print('probe ok', float(x.sum()), f'{time.time()-t0:.1f}s', flush=True)
-" >> "$LOG" 2>&1 || { say "probe FAILED/timeout"; }
+" >> "$LOG" 2>&1; then ALIVE=1; say "relay ALIVE"; break; fi
+  say "probe $i failed; sleeping 120s"
+  sleep 120
+done
+[ "$ALIVE" = 1 ] || { say "relay never answered; queue aborting"; exit 1; }
 
 # 1. full bench (races pass/wf/mk x pcg/hash + fuse) — the headline
 say "bench full..."
