@@ -45,19 +45,24 @@ from ..core.math import RAY_TMAX, dot, face_forward, offset_ray_origin
 from ..core.sampling import mis_weight
 from ..lights import finish_light_sample, pdf_direct, sample_light_point
 from ..scene import Scene
-from .common import PTSettings, _emission_at, _tree_select, dispatch_shade
+from .common import PTSettings, _emission_at, dispatch_shade
 from .pt import max_wavefront_lanes
 
 
 def _fresh_lanes(scene: Scene, filt, width, height, item, sampler_config,
-                 seed, fused=False):
-    """Build lane state for queue items (item = sample * npix + pixel)."""
+                 seed, fused=False, npix_owned=None, pix_base=None):
+    """Build lane state for queue items (item = sample * npix_owned + local
+    pixel). `lanes["pix"]` stores the LOCAL index (the film scatter target);
+    the sampler stream and raster position use the GLOBAL pixel
+    `pix_base + local` so a sharded render reproduces the single-chip
+    (pixel, sample)-keyed streams exactly."""
     from ..core.lds import make_sampler
 
-    npix = width * height
+    npix_owned = width * height if npix_owned is None else npix_owned
     n = item.shape[0]
-    sample_idx = (item // npix).astype(jnp.uint32)
-    pix = (item % npix).astype(jnp.uint32)
+    sample_idx = (item // npix_owned).astype(jnp.uint32)
+    local = (item % npix_owned).astype(jnp.uint32)
+    pix = local if pix_base is None else local + pix_base
     sampler = make_sampler(sampler_config, pix, sample_idx, seed)
     sampler, u_film = sampler.next_2d()
     off, fw = filt.sample(u_film)
@@ -71,7 +76,7 @@ def _fresh_lanes(scene: Scene, filt, width, height, item, sampler_config,
     )
     ray_o, ray_d = generate_rays(scene.camera, p_film)
     lanes = {
-        "pix": pix.astype(jnp.int32),
+        "pix": local.astype(jnp.int32),
         "fw": fw,
         "ray_o": ray_o,
         "ray_d": ray_d,
@@ -95,6 +100,25 @@ def _fresh_lanes(scene: Scene, filt, width, height, item, sampler_config,
             "p_ex1": jnp.full((n,), -1, jnp.int32),
         })
     return lanes
+
+
+def _lane_select(mask, a, b):
+    """_tree_select that passes LANE-INDEPENDENT leaves through: the pmj02
+    sampler pytree carries a shared [S*N, 2] sample-table leaf that is
+    identical in every lane state (same make_sampler config), so masking it
+    per-lane is both a shape error and pointless — any leaf whose leading
+    dim is not the lane count is returned as-is."""
+    n = mask.shape[0]
+
+    def sel(x, y):
+        if x.ndim == 0 or x.shape[0] != n:
+            return x
+        m = mask
+        while m.ndim < x.ndim:
+            m = m[..., None]
+        return jnp.where(m, x, y)
+
+    return jax.tree_util.tree_map(sel, a, b)
 
 
 def _resolve_pending(st, occluded):
@@ -284,12 +308,17 @@ def _finish_radiance(settings: PTSettings, st):
     return remove_nan(radiance)
 
 
-def _make_step(scene: Scene, settings: PTSettings, filt, width, height,
-               sampler_config, seed, pool, fused=False):
-    """Jitted persistent step: up to `iters` retire/refill/bounce rounds."""
-    npix = width * height
+def make_step_fn(scene: Scene, settings: PTSettings, filt, width, height,
+                 sampler_config, seed, fused=False, npix_owned=None):
+    """The raw (unjitted) persistent step over a device-owned pixel range:
+    up to `iters` retire/refill/bounce rounds. `accum`/`weight` cover the
+    npix_owned LOCAL rows; queue items decode against npix_owned and
+    `pix_base` shifts rays/samplers to global pixels (0 single-chip;
+    axis_index * per_dev under shard_map)."""
+    npix_owned = width * height if npix_owned is None else npix_owned
 
-    def step(arrays, accum, weight, lanes, qhead, total, iters):
+    def step(arrays, accum, weight, lanes, qhead, total, iters,
+             pix_base=jnp.uint32(0)):
         sc = replace(scene, arrays=arrays)
 
         def refill(carry):
@@ -298,7 +327,7 @@ def _make_step(scene: Scene, settings: PTSettings, filt, width, height,
             if fused:  # a pending NEE must land before the lane retires
                 done = done & ~lanes["p_valid"]
             retire = done & (lanes["pix"] >= 0)
-            pixc = jnp.clip(lanes["pix"], 0, npix - 1)
+            pixc = jnp.clip(lanes["pix"], 0, npix_owned - 1)
             contrib = _finish_radiance(settings, lanes) * lanes["fw"][..., None]
             accum = accum.at[pixc].add(
                 jnp.where(retire[..., None], contrib, 0.0)
@@ -311,11 +340,11 @@ def _make_step(scene: Scene, settings: PTSettings, filt, width, height,
             have = empty & (item < total)
             fresh = _fresh_lanes(
                 sc, filt, width, height, jnp.minimum(item, total - 1),
-                sampler_config, seed, fused,
+                sampler_config, seed, fused, npix_owned, pix_base,
             )
             lanes["pix"] = jnp.where(empty, -1, lanes["pix"])
             lanes["active"] = lanes["active"] & ~empty
-            lanes = _tree_select(have, fresh, lanes)
+            lanes = _lane_select(have, fresh, lanes)
             qhead = jnp.minimum(qhead + jnp.sum(empty.astype(jnp.int32)), total)
             return accum, weight, lanes, qhead
 
@@ -346,7 +375,7 @@ def _make_step(scene: Scene, settings: PTSettings, filt, width, height,
         # flush lanes that died on the capped last bounce without waiting for
         # the next dispatch's refill (keeps the final dispatch's tail exact)
         retire = (~lanes["active"]) & (lanes["pix"] >= 0)
-        pixc = jnp.clip(lanes["pix"], 0, npix - 1)
+        pixc = jnp.clip(lanes["pix"], 0, npix_owned - 1)
         contrib = _finish_radiance(settings, lanes) * lanes["fw"][..., None]
         accum = accum.at[pixc].add(jnp.where(retire[..., None], contrib, 0.0))
         weight = weight.at[pixc].add(jnp.where(retire, lanes["fw"], 0.0))
@@ -354,6 +383,14 @@ def _make_step(scene: Scene, settings: PTSettings, filt, width, height,
         n_active = jnp.sum(lanes["active"].astype(jnp.int32))
         return accum, weight, lanes, qhead, n_active
 
+    return step
+
+
+def _make_step(scene: Scene, settings: PTSettings, filt, width, height,
+               sampler_config, seed, pool, fused=False):
+    """Jitted single-chip persistent step (pix_base 0, whole-film rows)."""
+    step = make_step_fn(scene, settings, filt, width, height, sampler_config,
+                        seed, fused)
     return jax.jit(step, donate_argnums=(1, 2, 3), static_argnums=(6,))
 
 

@@ -164,6 +164,17 @@ def render_pt_sharded(scene, config, task=None, mesh: Mesh | None = None,
     parity with the single-chip render_pt host loop."""
     import os
 
+    if (
+        os.environ.get("AKR_PERSISTENT", "0") == "1"
+        and checkpoint_path is None
+        and (session is None or not session.save_intermediate)
+    ):
+        # persistent wavefront, sharded (same routing gate as render_pt)
+        return render_pt_wavefront_sharded(
+            scene, config, task=task, mesh=mesh, progress_cb=progress_cb,
+            session=session,
+        )
+
     mesh = mesh or make_mesh()
     width, height = scene.camera.width, scene.camera.height
     filt = filter_from_config(task.filter_config if task else None)
@@ -283,6 +294,129 @@ def render_pt_sharded(scene, config, task=None, mesh: Mesh | None = None,
         if session.save_stats:
             render_stats.write(session)
     img = np.asarray(develop(film, width, height))
+    return img, stats
+
+
+def render_pt_wavefront_sharded(scene, config, task=None,
+                                mesh: Mesh | None = None, progress_cb=None,
+                                session=None):
+    """Multi-chip persistent wavefront: each device owns a contiguous film-
+    row range and drains its own (local pixel, sample) queue with the
+    single-chip compact+refill step (integrators/wavefront.py) — the queue
+    split is embarrassingly parallel, films stay device-local (zero
+    inter-chip communication per dispatch), and the GLOBAL (pixel, sample)
+    sampler keying means every path is sampled identically to single-chip.
+    """
+    import os
+
+    from ..integrators.common import _fuse_rays_mode
+    from ..integrators.pt import max_wavefront_lanes
+    from ..integrators.wavefront import _empty_lanes, make_step_fn
+
+    mesh = mesh or make_mesh()
+    ndev = mesh.devices.size
+    width, height = scene.camera.width, scene.camera.height
+    npix = width * height
+    assert npix % ndev == 0, f"{npix} pixels not divisible by {ndev} devices"
+    per_dev = npix // ndev
+    filt = filter_from_config(task.filter_config if task else None)
+    settings = _settings_from_config(config)
+    seed = task.seed if task else 0
+    sampler_config = task.sampler if task else None
+    pool = min(per_dev * config.spp, max_wavefront_lanes(scene))
+    fused = (
+        _fuse_rays_mode()
+        and settings.use_nee
+        and scene.arrays.lights.num_lights > 0
+        and not scene.has_alpha
+    )
+    total = per_dev * config.spp
+    step = make_step_fn(scene, settings, filt, width, height, sampler_config,
+                        seed, fused, npix_owned=per_dev)
+
+    def shard_body(arrays, accum, weight, lanes, qhead, iters):
+        k = jax.lax.axis_index("d").astype(jnp.uint32)
+        a2, w2, l2, qh, na = step(
+            arrays, accum, weight, lanes, qhead[0], jnp.int32(total),
+            iters, pix_base=k * jnp.uint32(per_dev),
+        )
+        return a2, w2, l2, qh[None], na[None]
+
+    lanes0 = _empty_lanes(scene, filt, width, height, ndev * pool,
+                          sampler_config, seed, fused)
+    lanes_spec = jax.tree_util.tree_map(
+        lambda x: P("d") if x.ndim >= 1 and x.shape[0] == ndev * pool else P(),
+        lanes0,
+    )
+    sharded = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P("d"), P("d"), lanes_spec, P("d"), P()),
+        out_specs=(P("d"), P("d"), lanes_spec, P("d"), P("d")),
+        check_rep=False,
+    )
+    step_j = jax.jit(sharded, donate_argnums=(1, 2, 3, 4))
+
+    accum = jnp.zeros((npix, 3))
+    weight = jnp.zeros((npix,))
+    lanes = lanes0
+    qhead = jnp.zeros((ndev,), jnp.int32)
+
+    stats = {"time": [], "spp": []}
+    t0 = time.time()
+
+    from ..scene import _on_tpu
+
+    try:
+        budget = float(os.environ.get("AKR_MAX_PASS_SECONDS", "40"))
+    except ValueError:
+        budget = 40.0
+    iters = int(os.environ.get("AKR_WF_ITERS", "0"))
+    if iters <= 0:
+        if _on_tpu() and budget > 0:
+            accum, weight, lanes, qhead, n_active = step_j(
+                scene.arrays, accum, weight, lanes, qhead, jnp.int32(4)
+            )
+            jax.block_until_ready(accum)
+            tp = time.time()
+            accum, weight, lanes, qhead, n_active = step_j(
+                scene.arrays, accum, weight, lanes, qhead, jnp.int32(4)
+            )
+            jax.block_until_ready(accum)
+            per_iter = (time.time() - tp) / 4
+            iters = max(4, int(budget / max(per_iter, 1e-6)))
+        else:
+            iters = 10 ** 9
+
+    while True:
+        accum, weight, lanes, qhead, n_active = step_j(
+            scene.arrays, accum, weight, lanes, qhead, jnp.int32(iters)
+        )
+        qh = np.asarray(qhead)
+        na = np.asarray(n_active)
+        done_items = int(qh.sum()) - int(na.sum())
+        if progress_cb is not None:
+            stats["time"].append(time.time() - t0)
+            stats["spp"].append(done_items // max(npix, 1))
+            progress_cb(done_items // max(npix, 1), config.spp, stats)
+        if session is not None and session.display is not None:
+            film = Film(accum=accum, splat=jnp.zeros_like(accum), weight=weight)
+            session.display(np.asarray(develop(film, width, height)))
+        if (qh >= total).all() and (na == 0).all():
+            break
+    jax.block_until_ready(accum)
+    stats["total_time"] = time.time() - t0
+    stats["spp_total"] = config.spp
+    stats["devices"] = ndev
+    film = Film(accum=accum, splat=jnp.zeros_like(accum), weight=weight)
+    img = np.asarray(develop(film, width, height))
+    if session is not None:
+        from ..stats import RenderStats
+
+        rs = RenderStats()
+        rs.record(stats["total_time"], config.spp)
+        if session.save_stats:
+            rs.write(session)
     return img, stats
 
 

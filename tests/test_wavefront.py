@@ -43,6 +43,36 @@ def test_deep_config_with_rr(cbox):
     np.testing.assert_allclose(img_w, img_p, rtol=2e-4, atol=2e-5)
 
 
+def test_wavefront_pmj02_sampler(cbox):
+    """Regression: the pmj02 sampler pytree carries a SHARED sample-table
+    leaf; the refill's lane select must pass it through instead of masking
+    it per-lane (which raised a broadcast error through the CLI path,
+    where pt.json selects pmj02bn)."""
+    from akari_render_tpu.config import RenderTask
+
+    task = RenderTask(method_type="pt", method=None,
+                      sampler={"type": "pmj02bn", "seed": 0})
+    cfg = PTConfig(spp=4, max_depth=4, rr_depth=3, spp_per_pass=4)
+    img_p, _ = render_pt(cbox, cfg, task=task)
+    img_w, _ = render_pt_wavefront(cbox, cfg, task=task)
+    np.testing.assert_allclose(img_w, img_p, rtol=2e-4, atol=2e-5)
+
+
+def test_wavefront_sharded_matches_single(cbox):
+    """8-device persistent wavefront: every (pixel, sample) path is sampled
+    with the same GLOBAL keying as single-chip, so the developed image
+    matches to fp-accumulation tolerance (retirement order differs)."""
+    from akari_render_tpu.parallel.shard import (
+        make_mesh, render_pt_wavefront_sharded,
+    )
+
+    cfg = PTConfig(spp=8, max_depth=4, rr_depth=3, spp_per_pass=8)
+    img_single, _ = render_pt_wavefront(cbox, cfg)
+    img_s, st = render_pt_wavefront_sharded(cbox, cfg, mesh=make_mesh(8))
+    assert st["devices"] == 8
+    np.testing.assert_allclose(img_s, img_single, rtol=2e-4, atol=2e-5)
+
+
 def test_wavefront_fused_matches_sequential(cbox):
     """AKR_FUSE_RAYS in the persistent wavefront: pending NEE shadows ride
     the next bounce's traversal; contribution values unchanged (only float
