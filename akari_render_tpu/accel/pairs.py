@@ -132,6 +132,77 @@ def _block_entries(cbmin, cbmax, olo, ohi, ilo, ihi, bt0, bt1):
     return jnp.where(entry <= exit_, entry, jnp.inf)
 
 
+def _cull_kernel(summ_ref, cb_ref, out_ref):
+    """Fused conservative cull for one ([Bt] blocks, [Kt] clusters) tile:
+    the whole 36-op interval chain of _block_entries_raw runs on VMEM
+    temporaries and emits e_init (+inf where rejected) directly — the XLA
+    formulation materialized every [B, K] intermediate in HBM (measured
+    <5% of the HBM roofline, i.e. pure traffic waste)."""
+    INF = jnp.float32(jnp.inf)
+    kt = out_ref.shape[1]
+    bt = out_ref.shape[0]
+    entry = jnp.full((bt, kt), -INF)
+    exit_ = jnp.full((bt, kt), INF)
+    for a in range(3):
+        bmin = cb_ref[a, :][None, :]  # [1, Kt]
+        bmax = cb_ref[3 + a, :][None, :]
+        olo = summ_ref[:, a:a + 1]  # [Bt, 1]
+        ohi = summ_ref[:, 3 + a:4 + a]
+        il = summ_ref[:, 6 + a:7 + a]
+        ih = summ_ref[:, 9 + a:10 + a]
+        n0lo, n0hi = bmin - ohi, bmin - olo
+        n1lo, n1hi = bmax - ohi, bmax - olo
+
+        def iprod(nlo, nhi):
+            p1, p2, p3, p4 = nlo * il, nlo * ih, nhi * il, nhi * ih
+            return (
+                jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+                jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)),
+            )
+
+        t0lo, t0hi = iprod(n0lo, n0hi)
+        t1lo, t1hi = iprod(n1lo, n1hi)
+        entry = jnp.maximum(entry, jnp.minimum(t0lo, t1lo))
+        exit_ = jnp.minimum(exit_, jnp.maximum(t0hi, t1hi))
+    entry = jnp.maximum(entry, summ_ref[:, 12:13])  # block min tmin
+    out_ref[:] = jnp.where(entry <= exit_, entry, INF)
+
+
+_CULL_BT = 8  # blocks per cull tile
+_CULL_KT = 512  # clusters per cull tile
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _cull_einit(summ, cb6, interpret=False):
+    """Pallas fused cull: summ [B, 16] block summaries (olo|ohi|ilo|ihi|bt0),
+    cb6 [6, K] cluster bounds -> e_init [B, K] (entry, +inf on reject).
+    Bit-exact vs the XLA _block_entries_raw chain (same ops, same order)."""
+    B, K = summ.shape[0], cb6.shape[1]
+    bt = min(_CULL_BT, max(B, 1))
+    kt = min(_CULL_KT, max(K, 1))
+    B_pad = ((B + bt - 1) // bt) * bt
+    K_pad = ((K + kt - 1) // kt) * kt
+    if B_pad != B:
+        summ = jnp.pad(summ, ((0, B_pad - B), (0, 0)))
+    if K_pad != K:
+        cb6 = jnp.pad(cb6, ((0, 0), (0, K_pad - K)))
+    out = pl.pallas_call(
+        _cull_kernel,
+        out_shape=jax.ShapeDtypeStruct((B_pad, K_pad), jnp.float32),
+        grid=(B_pad // bt, K_pad // kt),
+        in_specs=[
+            pl.BlockSpec((bt, 16), lambda b, k: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, kt), lambda b, k: (0, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, kt), lambda b, k: (b, k),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(summ, cb6)
+    return out[:B, :K]
+
+
 def _refine_kernel(wb_ref, o_ref, i_ref, lim_ref, out_ref):
     """Per-ray slab refinement for one (block, W-chunk): does ANY live lane's
     [tmin, t1] slab interval overlap candidate w? out [1, WCH] int32.
@@ -543,10 +614,6 @@ def intersect_pairs(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
     W_pad = ((W + wch - 1) // wch) * wch
     posW = jnp.arange(W, dtype=jnp.int32)
     inv_soa = inv_d.T  # [3, n_pad] for the Pallas refine
-    # conservative entry/exit once; rounds only re-apply the horizon
-    ent_raw, exit_raw = _block_entries_raw(
-        cl.cbmin, cl.cbmax, olo, ohi, ilo, ihi, bt0
-    )
 
     # ---- cursor walk precompute: each block's full candidate order, ONCE.
     # The per-round top_k over [B, K] (the dominant XLA op of the threshold
@@ -560,7 +627,18 @@ def intersect_pairs(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
     # interval can reach, fail the per-ray refine (block entry lower-bounds
     # every lane's true entry) and are consumed vacuously, exactly like the
     # threshold formulation's zero-pass members.
-    e_init = jnp.where(ent_raw <= exit_raw, ent_raw, INF)
+    if _os.environ.get("AKR_PALLAS_CULL", "1") != "0":
+        # fused Pallas cull (bit-exact; see _cull_kernel)
+        summ = jnp.concatenate(
+            [olo, ohi, ilo, ihi, bt0[:, None], jnp.zeros((B, 3))], axis=1
+        )
+        cb6 = jnp.concatenate([cl.cbmin.T, cl.cbmax.T], axis=0)
+        e_init = _cull_einit(summ, cb6, interpret)
+    else:
+        ent_raw, exit_raw = _block_entries_raw(
+            cl.cbmin, cl.cbmax, olo, ohi, ilo, ihi, bt0
+        )
+        e_init = jnp.where(ent_raw <= exit_raw, ent_raw, INF)
     worder = jnp.argsort(e_init, axis=1).astype(jnp.int32)  # stable: id asc
     went = jnp.take_along_axis(e_init, worder, axis=1)  # [B, K] ascending
     kcnt = jnp.sum(jnp.isfinite(e_init), axis=1).astype(jnp.int32)

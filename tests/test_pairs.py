@@ -146,6 +146,42 @@ def test_refine_kernel_matches_xla_reference():
     np.testing.assert_array_equal(np.asarray(got) > 0, want)
 
 
+def test_cull_kernel_matches_xla_reference():
+    """pairs._cull_einit (fused Pallas conservative cull) must be BIT-exact
+    vs the XLA _block_entries_raw chain (same ops, same order), including
+    sign-straddling inverse-direction intervals and non-tile-multiple
+    B / K (the kernel pads and slices)."""
+    import jax.numpy as jnp
+
+    from akari_render_tpu.accel.pairs import _block_entries_raw, _cull_einit
+
+    rng = np.random.default_rng(11)
+    B, K = 5, 700  # neither a multiple of the (8, 512) tile
+    olo = rng.uniform(-3, 2, (B, 3)).astype(np.float32)
+    ohi = olo + rng.uniform(0, 1, (B, 3)).astype(np.float32)
+    ilo = rng.uniform(-8, 4, (B, 3)).astype(np.float32)
+    ihi = ilo + rng.uniform(0, 8, (B, 3)).astype(np.float32)  # straddles 0
+    bt0 = rng.uniform(0, 0.1, (B,)).astype(np.float32)
+    cbmin = rng.uniform(-4, 3, (K, 3)).astype(np.float32)
+    cbmax = cbmin + rng.uniform(0, 2, (K, 3)).astype(np.float32)
+
+    ent, exi = _block_entries_raw(
+        jnp.asarray(cbmin), jnp.asarray(cbmax), jnp.asarray(olo),
+        jnp.asarray(ohi), jnp.asarray(ilo), jnp.asarray(ihi),
+        jnp.asarray(bt0),
+    )
+    want = np.asarray(jnp.where(ent <= exi, ent, jnp.inf))
+
+    summ = jnp.concatenate(
+        [jnp.asarray(olo), jnp.asarray(ohi), jnp.asarray(ilo),
+         jnp.asarray(ihi), jnp.asarray(bt0)[:, None], jnp.zeros((B, 3))],
+        axis=1,
+    )
+    cb6 = jnp.concatenate([jnp.asarray(cbmin).T, jnp.asarray(cbmax).T], axis=0)
+    got = np.asarray(_cull_einit(summ, cb6, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_per_lane_any_hit_mask(soup, clusters, rays):
     """any_hit_mask lanes (fused shadow rays) must report exactly the
     brute-force occlusion bit; unmasked lanes in the SAME call must still
