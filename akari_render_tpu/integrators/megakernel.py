@@ -1055,6 +1055,37 @@ def render_pt_megakernel(scene, config, task=None, progress_cb=None,
     acc = np.zeros((4, npad), np.float32)
     done = 0
     stats = {"time": [], "spp": []}
+
+    # adaptive watchdog sizing (same probe scheme as integrators/pt.py):
+    # one whole-frame dispatch must stay under the ~60 s relay watchdog
+    import os as _os
+
+    from ..scene import _on_tpu
+
+    try:
+        _budget = float(_os.environ.get("AKR_MAX_PASS_SECONDS", "40"))
+    except ValueError:
+        _budget = 40.0
+    if (
+        _on_tpu()
+        and _budget > 0
+        and spp_chunk > 1
+        and config.spp - done > 2
+        and _os.environ.get("AKR_ADAPTIVE_PASS", "1") != "0"
+    ):
+        for _ in range(2):  # first run compiles, second times
+            tp = time.time()
+            out = get_run(1)(a.attr, a.const_emission, lsel, loff, ltab,
+                             tab_j, jnp.asarray([done], jnp.int32))
+            acc += np.asarray(out)
+            done += 1
+        per_spp = time.time() - tp
+        max_chunk = max(1, int(_budget / max(per_spp, 1e-6)))
+        if spp_chunk > max_chunk:
+            remaining = config.spp - done
+            n = -(-remaining // max_chunk)
+            spp_chunk = -(-remaining // n)
+
     while done < config.spp:
         chunk = min(spp_chunk, config.spp - done)
         out = get_run(chunk)(a.attr, a.const_emission, lsel, loff, ltab,
