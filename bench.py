@@ -194,9 +194,51 @@ def _flops_per_path(scene, max_depth):
     return per_ray * rays_per_bounce * bounces
 
 
+def _tpu_relay_alive(timeout_s: float) -> bool:
+    """Probe the axon TPU relay in a SUBPROCESS with a hard timeout.
+
+    The relay occasionally wedges for hours (observed 2026-08-18: >5 h);
+    an in-process jnp op would then hang bench.py forever and the round
+    would record nothing. The probe runs one tiny device computation +
+    transfer; first-transfer latency on a healthy relay is 1-8 min, so
+    the default budget is generous (BENCH_TPU_PROBE_SECONDS=900)."""
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = (jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum();"
+        "print('ok', float(x))"
+    )
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True,
+        )
+        return r.returncode == 0 and "ok" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
     os.environ.setdefault("AKR_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".cache"))
     import jax
+
+    # Relay-down resilience: if the TPU tunnel does not answer a bounded
+    # probe, fall back to an honestly-labeled CPU measurement (reduced spp,
+    # race skipped) instead of hanging until the driver kills us.
+    cpu_fallback = False
+    if os.environ.get("BENCH_FORCE_CPU"):
+        cpu_fallback = True
+    elif os.environ.get("BENCH_SKIP_TPU_PROBE") != "1":
+        probe_s = float(os.environ.get("BENCH_TPU_PROBE_SECONDS", "900"))
+        if not _tpu_relay_alive(probe_s):
+            cpu_fallback = True
+    if cpu_fallback:
+        jax.config.update("jax_platforms", "cpu")
+        os.environ["BENCH_FAST"] = "1"
+        os.environ.setdefault("BENCH_SPP", "4")
+        os.environ.setdefault("BENCH_SKIP_CLASSROOM", "1")
 
     from akari_render_tpu.scene import load_scene
 
@@ -218,6 +260,7 @@ def main():
         "max_depth": max_depth,
         "seconds": round(dt, 3),
         "device": str(jax.devices()[0]),
+        "cpu_fallback_relay_down": cpu_fallback,
         "config": cfg_name,
         "variants": {
             k: (round(v[0], 3) if isinstance(v[0], float) else v[0])
@@ -326,7 +369,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": ("cbox_pt_throughput" if "cbox" in scene_path else "scene_pt_throughput"),
+                "metric": ("cbox_pt_throughput" if "cbox" in scene_path else "scene_pt_throughput")
+                + ("_cpu_fallback" if cpu_fallback else ""),
                 "value": round(mpaths_s, 3),
                 "unit": "Mpaths/s",
                 "vs_baseline": round(rel, 3),

@@ -30,6 +30,18 @@ def main():
     ap.add_argument("--out", default="bench_mse.json")
     ap.add_argument("--methods", nargs="+", default=["pt", "gpt", "mcmc"])
     ap.add_argument(
+        "--gt-exr", default=None,
+        help="reuse a previously-rendered ground truth EXR instead of "
+             "re-rendering it (e.g. the .gt.exr a prior run saved); the "
+             "file must match --res and come from the same scene",
+    )
+    ap.add_argument(
+        "--merge-into", default=None,
+        help="read an existing results JSON and merge the new method "
+             "series into it (for filling in one method after a partial "
+             "run) before writing --out",
+    )
+    ap.add_argument(
         "--gpt-min-roughness", type=float, default=0.2,
         help="reconnection roughness criterion: a vertex pair reconnects "
              "only when BOTH endpoint roughnesses are >= this, so LOWER it "
@@ -48,18 +60,28 @@ def main():
     from akari_render_tpu.scene import load_scene
 
     scene = load_scene(args.scene, width=args.res, height=args.res)
-    print(f"ground truth: pt {args.gt_spp} spp...", file=sys.stderr)
-    t0 = time.time()
-    gt, _ = render_pt(
-        scene, PTConfig(spp=args.gt_spp, max_depth=args.max_depth, spp_per_pass=64)
-    )
-    print(f"  done in {time.time()-t0:.1f}s", file=sys.stderr)
-    write_image(Path(args.out).with_suffix(".gt.exr"), gt)
+    if args.gt_exr:
+        from akari_render_tpu.core.image_io import read_exr
+
+        gt = read_exr(args.gt_exr)
+        assert gt.shape[0] == args.res and gt.shape[1] == args.res, gt.shape
+        print(f"ground truth: reused {args.gt_exr}", file=sys.stderr)
+    else:
+        print(f"ground truth: pt {args.gt_spp} spp...", file=sys.stderr)
+        t0 = time.time()
+        gt, _ = render_pt(
+            scene, PTConfig(spp=args.gt_spp, max_depth=args.max_depth, spp_per_pass=64)
+        )
+        print(f"  done in {time.time()-t0:.1f}s", file=sys.stderr)
+        write_image(Path(args.out).with_suffix(".gt.exr"), gt)
 
     def mse(img):
         return float(np.mean((img - gt) ** 2))
 
     results = {"scene": args.scene, "res": args.res, "gt_spp": args.gt_spp, "series": {}}
+    if args.merge_into and Path(args.merge_into).exists():
+        prior = json.loads(Path(args.merge_into).read_text())
+        results["series"].update(prior.get("series", {}))
     for method in args.methods:
         series = []
         for spp in args.spp:
