@@ -88,7 +88,11 @@ def _draw(key, ctr):
     x ^= x >> 15
     x *= _u32(0x735A2D97)
     x ^= x >> 15
-    u = (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    # Mosaic has no uint32->f32 cast; (x >> 8) < 2^24 so the int32 detour
+    # is value-exact (measured TPU failure: "Unsupported cast: uint32 ->
+    # float32", 2026-08-18)
+    u = ((x >> 8).astype(jnp.int32).astype(jnp.float32)
+         * jnp.float32(1.0 / (1 << 24)))
     return ctr + _u32(1), u
 
 
@@ -480,14 +484,16 @@ def _make_kernel(scene, settings, spp_chunk, seed, has_spec, has_metal,
                 jnp.full((B,), -1, jnp.int32),  # exclude
                 jnp.zeros((B,)), jnp.zeros((B,)), jnp.zeros((B,)),  # rad
                 jnp.ones((B,)), jnp.ones((B,)), jnp.ones((B,)),  # beta
-                pix_ok,  # active
+                pix_ok.astype(jnp.int32),  # active (i32: Mosaic can't
+                # yield vector<i1> loop carries — "failed to legalize
+                # scf.yield", TPU 2026-08-18)
                 jnp.zeros((B,)),  # prev_bsdf_pdf
                 jnp.zeros((B,)), jnp.zeros((B,)), jnp.zeros((B,)),  # replay
                 ctr,
             )
 
             def bounce_cond(c):
-                return (c[0] < max_depth) & jnp.any(c[14])  # c[14] = active
+                return (c[0] < max_depth) & jnp.any(c[14] > 0)  # active
 
             def do_emission(depth, rad, beta, tri, got, active, ngx, ngy,
                             ngz, dxx, dyy, dzz, mat, light_id, prim_pdf,
@@ -511,6 +517,7 @@ def _make_kernel(scene, settings, spp_chunk, seed, has_spec, has_metal,
                 (depth, rox, roy, roz, rdx, rdy, rdz, excl,
                  rr, rg, rb, br, bg, bb, active, prev_pdf,
                  rpr, rpg, rpb, ctr) = c
+                active = active > 0  # decode the i32 carry
                 tmax = jnp.where(active, jnp.float32(_RAY_TMAX), -1.0)
                 t, tri, b0, b1, got = _mt_sweep(
                     attr_ref, T, rox, roy, roz, rdx, rdy, rdz,
@@ -728,8 +735,9 @@ def _make_kernel(scene, settings, spp_chunk, seed, has_spec, has_metal,
                 lix = jnp.where(use_refl, rxx, sx)
                 liy = jnp.where(use_refl, rxy, sy)
                 liz = jnp.where(use_refl, rxz, sz)
-                valid_s = jnp.where(use_refl, lwo[2] * rxz > 0.0,
-                                    jnp.ones_like(use_refl))
+                # logical form of where(use_refl, cond, True): Mosaic can't
+                # lower the boolean select's i8->i1 vector truncation
+                valid_s = (~use_refl) | (lwo[2] * rxz > 0.0)
                 nwx = lix * tx + liy * bx + liz * nsx
                 nwy = lix * ty + liy * by + liz * nsy
                 nwz = lix * tz + liy * bz + liz * nsz
@@ -787,12 +795,14 @@ def _make_kernel(scene, settings, spp_chunk, seed, has_spec, has_metal,
                               -ngz, ngz),
                 )
                 return (depth + 1, nox, noy, noz, nwx, nwy, nwz,
-                        tri, rr, rg, rb, br, bg, bb, active, pdf_s,
+                        tri, rr, rg, rb, br, bg, bb,
+                        active.astype(jnp.int32), pdf_s,
                         rpr, rpg, rpb, ctr)
 
             st = jax.lax.while_loop(bounce_cond, bounce_body, init)
             (_, rox, roy, roz, rdx, rdy, rdz, excl, rr, rg, rb,
              br, bg, bb, active, prev_pdf, rpr, rpg, rpb, ctr) = st
+            active = active > 0  # decode the i32 carry
             # final emission tap (trace_paths.final_emission)
             tmax = jnp.where(active, jnp.float32(_RAY_TMAX), -1.0)
             t, tri, b0, b1, got = _mt_sweep(
