@@ -36,7 +36,21 @@ def main(argv=None):
         help="serve a live progressive preview over local HTTP (akari --gui analog)",
     )
     ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="pin to host CPU (AKR_FORCE_CPU=1 works too). The env var "
+        "JAX_PLATFORMS alone is unreliable where a site hook "
+        "force-registers an accelerator backend over it; only "
+        "jax.config.update after import picks the platform for sure",
+    )
     args = ap.parse_args(argv)
+
+    import os
+
+    if args.cpu or os.environ.get("AKR_FORCE_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from .config import RenderTask
     from .core.image_io import write_image

@@ -111,60 +111,75 @@ def _best_config(scene, res_w, res_h, spp, max_depth):
     RNG). The pass integrator with the reference-parity PCG stream is the
     always-works floor; each alternative is guarded so a failure just
     drops it. The megakernel carries its own in-kernel hash RNG, so it
-    races once."""
+    races once.
+
+    The race is WALL-CLOCK BUDGETED (BENCH_BUDGET_SECONDS, default 1500):
+    remote axon compiles can take 10+ min each, and the driver's bench run
+    must always record at least the floor + classroom. Variants that don't
+    fit are recorded as "skipped: budget"; compiles that DID finish live in
+    the persistent XLA cache, so the next run gets further through the list.
+    """
     results = {}
+    deadline = time.time() + float(
+        os.environ.get("BENCH_BUDGET_SECONDS", "1500")
+    )
+
+    def _note(key, val):
+        print(f"[bench] {key}: {val}", file=sys.stderr, flush=True)
+
+    t0 = time.time()
     mp, dt, cost = _measure(scene, res_w, res_h, spp, max_depth)
     results["pass,pcg"] = (mp, dt)
+    _note("pass,pcg", f"{mp:.3f} Mpaths/s ({time.time()-t0:.0f}s total)")
     best = ("pass,pcg", mp, dt, cost)
     if os.environ.get("BENCH_FAST"):
         return best, results
-    try:
-        mp2, dt2 = _measure_megakernel(scene, res_w, res_h, spp, max_depth)
-        results["mk"] = (mp2, dt2)
-        if mp2 > best[1]:
-            best = ("mk", mp2, dt2, None)
-    except Exception as e:
-        results["mk"] = ("error: " + str(e)[:80],)
-    for rng in ("pcg", "hash"):
-        for name, fn in (("wf", _measure_wavefront), ("pass", _measure)):
-            key = f"{name},{rng}"
-            if key in results:
-                continue
-            try:
-                if rng == "hash":
-                    os.environ["AKR_RNG"] = "hash"
-                out = fn(scene, res_w, res_h, spp, max_depth)
-                mp2, dt2 = out[0], out[1]
-                results[key] = (mp2, dt2)
-                if mp2 > best[1]:
-                    best = (key, mp2, dt2, out[2] if len(out) > 2 else None)
-            except Exception as e:
-                results[key] = ("error: " + str(e)[:80],)
-            finally:
-                os.environ.pop("AKR_RNG", None)
-    # fused-ray pipelining on top of the winning pass RNG (shadow + next
-    # bounce in one traversal, common.py trace_paths fused mode)
+
+    def _race(key, fn, env=None):
+        nonlocal best
+        if key in results:
+            return
+        if time.time() > deadline:
+            results[key] = ("skipped: budget",)
+            _note(key, "skipped: budget")
+            return
+        t0 = time.time()
+        try:
+            for k, v in (env or {}).items():
+                os.environ[k] = v
+            out = fn(scene, res_w, res_h, spp, max_depth)
+            mp2, dt2 = out[0], out[1]
+            results[key] = (mp2, dt2)
+            _note(key, f"{mp2:.3f} Mpaths/s ({time.time()-t0:.0f}s total)")
+            if mp2 > best[1]:
+                best = (key, mp2, dt2, out[2] if len(out) > 2 else None)
+        except Exception as e:
+            results[key] = ("error: " + str(e)[:80],)
+            _note(key, results[key][0])
+        finally:
+            for k in (env or {}):
+                os.environ.pop(k, None)
+
+    _race("mk", _measure_megakernel)
+    _race("pass,pcg+fuse", _measure, {"AKR_FUSE_RAYS": "1"})
+    _race("wf,pcg", _measure_wavefront)
+    _race("pass,hash", _measure, {"AKR_RNG": "hash"})
+    _race("wf,hash", _measure_wavefront, {"AKR_RNG": "hash"})
+
     def _mp(key):
         v = results.get(key)
         return v[0] if v and isinstance(v[0], float) else 0.0
 
-    best_rng = "hash" if _mp("pass,hash") > _mp("pass,pcg") else "pcg"
-    for name, fn in (("pass", _measure), ("wf", _measure_wavefront)):
-        key = f"{name},{best_rng}+fuse"
-        try:
-            os.environ["AKR_FUSE_RAYS"] = "1"
-            if best_rng == "hash":
-                os.environ["AKR_RNG"] = "hash"
-            out = fn(scene, res_w, res_h, spp, max_depth)
-            results[key] = (out[0], out[1])
-            if out[0] > best[1]:
-                best = (key, out[0], out[1],
-                        out[2] if len(out) > 2 else None)
-        except Exception as e:
-            results[key] = ("error: " + str(e)[:80],)
-        finally:
-            os.environ.pop("AKR_FUSE_RAYS", None)
-            os.environ.pop("AKR_RNG", None)
+    # fused-ray pipelining on top of the winning wf RNG (shadow + next
+    # bounce in one traversal, common.py trace_paths fused mode)
+    wf_rng = "hash" if _mp("wf,hash") > _mp("wf,pcg") else "pcg"
+    env = {"AKR_FUSE_RAYS": "1"}
+    if wf_rng == "hash":
+        env["AKR_RNG"] = "hash"
+    _race(f"wf,{wf_rng}+fuse", _measure_wavefront, env)
+    if _mp("pass,hash") > _mp("pass,pcg"):
+        _race("pass,hash+fuse", _measure,
+              {"AKR_FUSE_RAYS": "1", "AKR_RNG": "hash"})
     return best, results
 
 
@@ -299,6 +314,8 @@ def main():
     # classroom-class second workload (1920x1080, BASELINE.md north star)
     classroom = os.path.join(os.path.dirname(__file__), "scenes/classroom/scene.json")
     if os.path.exists(classroom) and not os.environ.get("BENCH_SKIP_CLASSROOM"):
+        print(f"[bench] classroom (config={cfg_name})...",
+              file=sys.stderr, flush=True)
         try:
             spp_c = int(os.environ.get("BENCH_CLASSROOM_SPP", "1"))
             sc = load_scene(classroom)  # native 1920x1080 camera

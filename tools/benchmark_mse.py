@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -21,6 +22,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
+    # AKR_FORCE_CPU=1 pins the run to host CPU. NOTE: the env var
+    # JAX_PLATFORMS alone is NOT enough in this environment — sitecustomize
+    # force-registers the remote axon TPU backend over it; only
+    # jax.config.update after import reliably picks the platform (same
+    # workaround as tests/conftest.py / __graft_entry__.dryrun_multichip).
+    if os.environ.get("AKR_FORCE_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="/root/reference/scenes/cbox/scene.json")
     ap.add_argument("--res", type=int, default=256)
