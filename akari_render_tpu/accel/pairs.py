@@ -211,7 +211,7 @@ def _refine_kernel(wb_ref, o_ref, i_ref, lim_ref, out_ref):
     ~30 ms/round) into VMEM: reads are the ray block SoA + gathered candidate
     bounds, the [BLOCK, WCH] temporaries never leave the core.
     """
-    wch = out_ref.shape[1]
+    wch = out_ref.shape[2]
     near = jnp.full((o_ref.shape[1], wch), -jnp.inf)
     far = jnp.full((o_ref.shape[1], wch), jnp.inf)
     for a in range(3):
@@ -225,7 +225,7 @@ def _refine_kernel(wb_ref, o_ref, i_ref, lim_ref, out_ref):
         far = jnp.minimum(far, jnp.maximum(t0, t1))
     near = jnp.maximum(near, lim_ref[0, :][:, None])
     far = jnp.minimum(far, lim_ref[1, :][:, None])
-    out_ref[:] = jnp.any(near <= far, axis=0).astype(jnp.int32)[None, :]
+    out_ref[:] = jnp.any(near <= far, axis=0).astype(jnp.int32)[None, None, :]
 
 
 _REFINE_WCH = 256  # W-chunk per refine grid step ([BLOCK, WCH] VMEM temps)
@@ -252,14 +252,21 @@ def _refine(wb, o_soa, i_soa, lim, interpret=False):
             pl.BlockSpec((3, BLOCK), lambda b, w: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, BLOCK), lambda b, w: (0, b), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, wch), lambda b, w: (b, w), memory_space=pltpu.VMEM),
+        # Out block (1, 1, wch) over a [B, 1, W] array: Mosaic tiles the last
+        # two dims, and (1, wch) vs (1, W) satisfies the equal-or-divisible
+        # rule for ANY B.  A (1, wch) block over [B, W] does NOT when B > 1
+        # (1 is neither 8-divisible nor equal to B) — the round-3 regression
+        # that killed every >32k-tri scene on real TPU at compile time.
+        out_specs=pl.BlockSpec((1, 1, wch), lambda b, w: (b, 0, w),
+                               memory_space=pltpu.VMEM),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _refine_kernel,
-        out_shape=jax.ShapeDtypeStruct((B, W), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, 1, W), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(wb, o_soa, i_soa, lim)
+    return out[:, 0, :]
 
 
 def _sweep_kernel(tri_ix_ref, xf_ix_ref, o_ref, d_ref, lim_ref, ex_ref,
@@ -461,7 +468,10 @@ def _sweep_ent(tri_ix, xf_ix, o_soa, d_soa, lim, ex, cent, tri, xf_tab,
             pl.BlockSpec((3, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
+            # ex is [4, n_pad] (exclude0|exclude1|exclude2|per-lane any-hit
+            # flag): the block MUST cover all 4 rows — a (3, BLOCK) block
+            # here is Mosaic-invalid AND would hide the shadow-flag row
+            pl.BlockSpec((4, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, maxc), lambda b, m, c, x: (b, 0, 0), memory_space=pltpu.SMEM),
         ] + [tri_spec(i) for i in range(g)]
           + [xf_spec(i) for i in range(g)]

@@ -2,25 +2,45 @@
 exercise the multi-chip code paths without TPU hardware (SURVEY.md §4:
 "use CPU jax as the mock backend in CI").
 
+ON-CHIP TIER (VERDICT r3 weak #1: interpret-only validation shipped a
+Mosaic-invalid kernel): `AKR_TEST_TPU=1 pytest -m tpu tests/` leaves the
+real TPU backend registered and runs the device-parity smoke tests in
+tests/test_tpu_smoke.py on the chip. Without AKR_TEST_TPU=1, tpu-marked
+tests auto-skip and everything runs CPU-pinned as before.
+
 NOTE: this environment's sitecustomize force-registers the remote "axon" TPU
 backend and overrides JAX_PLATFORMS, so the env var alone is NOT enough —
 jax.config.update after import is the reliable knob.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+ON_TPU = os.environ.get("AKR_TEST_TPU") == "1"
+
+if not ON_TPU:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    if not ON_TPU:
+        skip_tpu = pytest.mark.skip(
+            reason="on-chip tier: set AKR_TEST_TPU=1 and run -m tpu"
+        )
+        for item in items:
+            if "tpu" in item.keywords:
+                item.add_marker(skip_tpu)
 
 
 @pytest.fixture
