@@ -28,7 +28,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..camera import generate_rays
@@ -146,7 +146,7 @@ def make_sharded_pass(scene, settings: PTSettings, filt, width: int, height: int
         mesh=mesh,
         in_specs=(P(), P("d"), P(), P()),
         out_specs=P("d"),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
@@ -353,7 +353,7 @@ def render_pt_wavefront_sharded(scene, config, task=None,
         mesh=mesh,
         in_specs=(P(), P("d"), P("d"), lanes_spec, P("d"), P()),
         out_specs=(P("d"), P("d"), lanes_spec, P("d"), P("d")),
-        check_rep=False,
+        check_vma=False,
     )
     step_j = jax.jit(sharded, donate_argnums=(1, 2, 3, 4))
 
@@ -468,7 +468,7 @@ def render_mcmc_sharded(scene, config, task=None, mesh: Mesh | None = None,
         mesh=mesh,
         in_specs=(P(),) + (P("d"),) * 10 + (P(),),
         out_specs=(P("d"),) * 10,
-        check_rep=False,
+        check_vma=False,
     )
     advance = jax.jit(sharded)
 
@@ -611,7 +611,7 @@ def render_gpt_sharded(scene, config, task=None, mesh: Mesh | None = None,
                 mesh=mesh,
                 in_specs=(P(), P("d"), P(), P()),
                 out_specs=P("d"),
-                check_rep=False,
+                check_vma=False,
             )
             pass_fns[chunk] = jax.jit(
                 lambda arrays, fs, base, s, _f=sharded: _f(arrays, fs, base, s),
