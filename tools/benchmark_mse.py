@@ -91,6 +91,9 @@ def main():
     results = {"scene": args.scene, "res": args.res, "gt_spp": args.gt_spp, "series": {}}
     if args.merge_into and Path(args.merge_into).exists():
         prior = json.loads(Path(args.merge_into).read_text())
+        for k, v in prior.items():  # keep platform/note/... metadata
+            if k != "series":
+                results.setdefault(k, v)
         results["series"].update(prior.get("series", {}))
     for method in args.methods:
         series = []
