@@ -22,6 +22,7 @@ class PTConfig:
     force_diffuse: bool = False
     pixel_offset: tuple = (0, 0)
     clamp_indirect: float = 1000.0
+    color: str = "rgb"  # FilmColorRepr (lib.rs:81-88): "rgb" | "spectral"
 
     @staticmethod
     def from_json(d: dict) -> "PTConfig":
@@ -35,7 +36,17 @@ class PTConfig:
             force_diffuse=d.get("force_diffuse", False),
             pixel_offset=tuple(d.get("pixel_offset", (0, 0))),
             clamp_indirect=d.get("clamp_indirect", 1000.0),
+            color=_parse_color(d.get("color", "rgb")),
         )
+
+
+def _parse_color(c) -> str:
+    """ColorRepr config (color.rs:81-93): "spectral" or {"type": "spectral"}
+    select hero-wavelength transport; anything rgb-flavored maps to "rgb"."""
+    if isinstance(c, dict):
+        c = c.get("type", "rgb")
+    c = str(c).lower()
+    return "spectral" if c == "spectral" else "rgb"
 
 
 @dataclass

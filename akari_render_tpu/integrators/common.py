@@ -33,6 +33,7 @@ class PTSettings:
     indirect_only: bool = False
     force_diffuse: bool = False
     clamp_indirect: float = 1000.0
+    color: str = "rgb"  # "rgb" | "spectral" (hero-wavelength transport)
 
 
 def _select_by_kind(scene: Scene, si, fn, force_diffuse: bool = False):
@@ -217,14 +218,13 @@ def _sorted_kind_dispatch(scene: Scene, si, extra, fn):
 
 
 def _emission_at(scene: Scene, si, wo):
-    """closure.emission at an interaction — constant-folded to a one-hot
-    matmul over the per-material emission table when every material's
-    emission is graph-static (the common case; kills two full shader
-    dispatches per bounce)."""
+    """closure.emission at an interaction — constant-folded to a row gather
+    from the per-material emission table when every material's emission is
+    graph-static (the common case; kills two full shader dispatches per
+    bounce). si["mat"] is a global material index, always in range."""
     ce = scene.arrays.const_emission
     if ce is not None:
-        oh = jax.nn.one_hot(si["mat"], ce.shape[0], dtype=jnp.float32)
-        return jnp.matmul(oh, ce, precision=jax.lax.Precision.HIGHEST)
+        return ce[si["mat"]]
     return _select_by_kind(scene, si, lambda c: c.emission(wo))
 
 
@@ -246,17 +246,54 @@ def trace_paths(
     sampler,
     radiance_cb: Callable | None = None,
     unroll: bool = False,
+    spectral=None,
 ):
     """Trace one bounce-limited path per lane; returns (radiance [N,3], aux, sampler).
 
     sampler: pytree with next_1d/next_2d/next_3d returning (sampler, value)
     (state must be jnp arrays so it can be loop-carried).
     radiance_cb: optional hook(depth, kind, contribution, mask) — forces unroll.
+    spectral: optional SampledWavelengths (lambdas/pdf [N, W]) — hero-wavelength
+    spectral transport (color.rs:49-76 SampledWavelengths; the reference's
+    spectral evaluation itself is todo!(), color.rs:71-73 — this implements it).
+    Path decisions (BSDF sampling, RR, MIS weights) run in RGB exactly as the
+    RGB mode — sample streams and kill decisions are bit-identical — while a
+    parallel spectral throughput multiplies rgb2spec-uplifted factors per
+    bounce and the returned radiance is the CIE-sensor estimate (XYZ->sRGB).
+    RGB reflectance factors uplift via the sigmoid-polynomial table; emission
+    uplifts through the normalized D65 illuminant so white emitters are D65.
     """
     a = scene.arrays
     n = ray_o.shape[0]
     if radiance_cb is not None:
         unroll = True
+    if spectral is not None and radiance_cb is not None:
+        raise NotImplementedError("spectral transport with per-depth taps")
+    up_table = None
+    if spectral is not None:
+        from ..core.spectral import (
+            ensure_rgb2spec_table, eval_reflectance, illuminant_d65,
+            uplift_unbounded,
+        )
+
+        up_table = ensure_rgb2spec_table()
+        if up_table is None:
+            raise RuntimeError(
+                "spectral mode needs the rgb2spec table (native optimizer "
+                "unavailable and no cached table)"
+            )
+        lam = spectral.lambdas  # [N, W]
+        d65_at_lam = illuminant_d65(lam)
+
+        def up_refl(rgb):
+            """Reflectance-like RGB factor -> spectrum at the hero lambdas."""
+            c, s = uplift_unbounded(up_table, rgb)
+            return eval_reflectance(c, lam) * s[..., None]
+
+        def up_emit(rgb):
+            """Emission-like RGB factor -> spectrum (D65-shaped white)."""
+            c, s = uplift_unbounded(up_table, rgb)
+            return eval_reflectance(c, lam) * s[..., None] * d65_at_lam
 
     # fused-ray pipelining (AKR_FUSE_RAYS=1): bounce k's NEE shadow ray and
     # bounce k+1's closest-hit ray trace in ONE 2N-lane traversal call —
@@ -290,6 +327,13 @@ def trace_paths(
         "first_t": jnp.full((n,), RAY_TMAX),
         "sampler": sampler,
     }
+    if spectral is not None:
+        w_ = spectral.lambdas.shape[-1]
+        state.update({
+            "radiance_s": jnp.zeros((n, w_)),
+            "beta_s": jnp.ones((n, w_)),
+            "base_replay_s": jnp.zeros((n, w_)),
+        })
     if fused:
         state.update({
             "p_ro": jnp.zeros((n, 3)),
@@ -300,6 +344,8 @@ def trace_paths(
             "p_ex0": jnp.full((n,), -1, jnp.int32),
             "p_ex1": jnp.full((n,), -1, jnp.int32),
         })
+        if spectral is not None:
+            state["p_contrib_s"] = jnp.zeros((n, spectral.lambdas.shape[-1]))
 
     def fused_trace(st):
         """One traversal for [path rays | pending shadow rays]: returns the
@@ -331,6 +377,10 @@ def trace_paths(
         st["radiance"] = st["radiance"] + jnp.where(
             ok[..., None], st["p_contrib"], 0.0
         )
+        if spectral is not None:
+            st["radiance_s"] = st["radiance_s"] + jnp.where(
+                ok[..., None], st["p_contrib_s"], 0.0
+            )
         st["p_valid"] = jnp.zeros((n,), bool)
         return st
 
@@ -350,6 +400,11 @@ def trace_paths(
             w = jnp.where(depth > 1, w, 0.0)
         contrib = st["beta"] * le * w[..., None]
         st["radiance"] = st["radiance"] + jnp.where(ok[..., None], contrib, 0.0)
+        if spectral is not None:
+            contrib_s = st["beta_s"] * up_emit(le) * w[..., None]
+            st["radiance_s"] = st["radiance_s"] + jnp.where(
+                ok[..., None], contrib_s, 0.0
+            )
         if radiance_cb is not None:
             radiance_cb(depth, "emission", contrib, ok)
         return st
@@ -379,6 +434,10 @@ def trace_paths(
 
         st = add_emission(st, depth, si, lane_hit, wo)
         st["base_replay"] = jnp.where((depth == 0)[..., None], st["radiance"], st["base_replay"])
+        if spectral is not None:
+            st["base_replay_s"] = jnp.where(
+                (depth == 0)[..., None], st["radiance_s"], st["base_replay_s"]
+            )
         cur_depth = depth + 1
 
         # --- NEE light sampling (pt.rs:470-478, 170-209) ---
@@ -412,17 +471,36 @@ def trace_paths(
             extra["ls_wi"] = ls.wi
             extra["ls_li"] = ls.li
             extra["ls_pdf"] = ls.pdf
+        if spectral is not None:
+            extra["lambdas"] = lam  # rides the sorted-dispatch permutation
 
         def shade(closure, ex):
             out = {}
             if ls is not None:
                 f_l, pdf_l = closure.evaluate(ex["wo"], ex["ls_wi"])
                 w = mis_weight(ex["ls_pdf"], pdf_l)
-                out["direct"] = (
-                    ex["ls_li"] * f_l * (w / jnp.maximum(ex["ls_pdf"], 1e-20))[..., None]
-                )
+                wp = (w / jnp.maximum(ex["ls_pdf"], 1e-20))[..., None]
+                out["direct"] = ex["ls_li"] * f_l * wp
+                if spectral is not None:
+                    # spectral NEE: uplift the BSDF factor and the light
+                    # radiance independently (product in the spectral domain)
+                    from ..core.spectral import eval_reflectance, uplift_unbounded
+
+                    cf, sf = uplift_unbounded(up_table, f_l)
+                    cl, sl = uplift_unbounded(up_table, ex["ls_li"])
+                    d65l = illuminant_d65(ex["lambdas"])
+                    out["direct_s"] = (
+                        eval_reflectance(cf, ex["lambdas"]) * sf[..., None]
+                        * eval_reflectance(cl, ex["lambdas"]) * sl[..., None]
+                        * d65l * wp
+                    )
             s = closure.sample(ex["wo"], ex["u_bsdf"][..., 0], ex["u_bsdf"][..., 1:])
             out["wi"], out["f"], out["pdf"], out["valid"] = s["wi"], s["f"], s["pdf"], s["valid"]
+            if spectral is not None:
+                from ..core.spectral import eval_reflectance, uplift_unbounded
+
+                cb, sb = uplift_unbounded(up_table, s["f"])
+                out["f_s"] = eval_reflectance(cb, ex["lambdas"]) * sb[..., None]
             out["albedo"] = closure.albedo(ex["wo"])
             return out
 
@@ -438,6 +516,8 @@ def trace_paths(
             st["p_dist"] = ls.shadow_dist
             st["p_valid"] = light_valid
             st["p_contrib"] = st["beta"] * sh["direct"]
+            if spectral is not None:
+                st["p_contrib_s"] = st["beta_s"] * sh["direct_s"]
             st["p_ex0"] = si["tri_id"].astype(jnp.int32)
             st["p_ex1"] = ls.dest_tri
         elif ls is not None:
@@ -449,6 +529,11 @@ def trace_paths(
             direct_ok = light_valid & ~occluded
             contrib = st["beta"] * sh["direct"]
             st["radiance"] = st["radiance"] + jnp.where(direct_ok[..., None], contrib, 0.0)
+            if spectral is not None:
+                contrib_s = st["beta_s"] * sh["direct_s"]
+                st["radiance_s"] = st["radiance_s"] + jnp.where(
+                    direct_ok[..., None], contrib_s, 0.0
+                )
             if radiance_cb is not None:
                 radiance_cb(cur_depth, "nee", contrib, direct_ok)
 
@@ -460,6 +545,12 @@ def trace_paths(
             sh["f"] / jnp.maximum(sh["pdf"], 1e-20)[..., None],
             1.0,
         )
+        if spectral is not None:
+            st["beta_s"] = st["beta_s"] * jnp.where(
+                st["active"][..., None],
+                sh["f_s"] / jnp.maximum(sh["pdf"], 1e-20)[..., None],
+                1.0,
+            )
 
         # russian roulette (pt.rs:210-224, 843-850)
         sampler, u_rr = sampler.next_1d()
@@ -470,6 +561,8 @@ def trace_paths(
         )
         st["active"] = st["active"] & (u_rr < cont_prob)
         st["beta"] = st["beta"] / jnp.maximum(cont_prob, 1e-20)[..., None]
+        if spectral is not None:
+            st["beta_s"] = st["beta_s"] / jnp.maximum(cont_prob, 1e-20)[..., None]
 
         st["prev_bsdf_pdf"] = sh["pdf"]
         st["ray_o"] = offset_ray_origin(si["p"], face_forward(si["ng"], sh["wi"]))
@@ -518,11 +611,24 @@ def trace_paths(
         )
     state = final_emission(state)
 
-    radiance = state["radiance"]
-    if settings.clamp_indirect > 0.0:
-        indirect = radiance - state["base_replay"]
-        indirect = jnp.clip(indirect, None, settings.clamp_indirect)
-        radiance = state["base_replay"] + indirect
+    if spectral is not None:
+        # clamp in the spectral domain (same per-channel semantics), then
+        # the CIE sensor estimate converts to linear sRGB for the film
+        from ..core.spectral import spectral_to_rgb
+
+        rad_s = state["radiance_s"]
+        if settings.clamp_indirect > 0.0:
+            ind = jnp.clip(
+                rad_s - state["base_replay_s"], None, settings.clamp_indirect
+            )
+            rad_s = state["base_replay_s"] + ind
+        radiance = spectral_to_rgb(rad_s, spectral.lambdas, spectral.pdf)
+    else:
+        radiance = state["radiance"]
+        if settings.clamp_indirect > 0.0:
+            indirect = radiance - state["base_replay"]
+            indirect = jnp.clip(indirect, None, settings.clamp_indirect)
+            radiance = state["base_replay"] + indirect
 
     aux = {
         "albedo": state["first_albedo"],

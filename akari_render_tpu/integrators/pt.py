@@ -114,7 +114,18 @@ def _render_pass_fn(scene: Scene, settings: PTSettings, filt, width, height, spp
             + off
         )
         ray_o, ray_d = generate_rays(sc.camera, p_film)
-        radiance, aux, sampler = trace_paths(sc, settings, ray_o, ray_d, sampler)
+        spectral = None
+        if settings.color == "spectral":
+            # hero-wavelength sample per lane (color.rs:49-76); one extra
+            # sampler draw, taken after the film sample so the RGB mode's
+            # draw order is untouched when spectral is off
+            from ..core.spectral import sample_wavelengths
+
+            sampler, u_lam = sampler.next_1d()
+            spectral = sample_wavelengths(u_lam)
+        radiance, aux, sampler = trace_paths(
+            sc, settings, ray_o, ray_d, sampler, spectral=spectral
+        )
         return radiance, jnp.where(valid, fw, 0.0)
 
     def one_sample(sample_idx, carry):
@@ -187,8 +198,10 @@ def render_pt(scene: Scene, config: PTConfig, task=None, progress_cb=None,
     reference, which cannot resume renders — SURVEY.md §5)."""
     import os as _os
 
+    spectral_mode = getattr(config, "color", "rgb") == "spectral"
     if (
         _os.environ.get("AKR_MEGAKERNEL", "0") == "1"
+        and not spectral_mode
         and checkpoint_path is None
         and (session is None or not session.save_intermediate)
     ):
@@ -214,6 +227,7 @@ def render_pt(scene: Scene, config: PTConfig, task=None, progress_cb=None,
             )
     if (
         _os.environ.get("AKR_PERSISTENT", "0") == "1"
+        and not spectral_mode
         and checkpoint_path is None
         and (session is None or not session.save_intermediate)
     ):
@@ -233,6 +247,7 @@ def render_pt(scene: Scene, config: PTConfig, task=None, progress_cb=None,
         indirect_only=config.indirect_only,
         force_diffuse=config.force_diffuse,
         clamp_indirect=config.clamp_indirect,
+        color=getattr(config, "color", "rgb"),
     )
     # samples per dispatch: amortize device-dispatch latency without
     # blowing up per-pass wall time (the sample loop is fori inside jit)

@@ -41,17 +41,25 @@ inline float cie_z(float l) {
          gauss(l, 0.681f, 459.0f, 26.0f, 13.8f);
 }
 
-// CIE D65 relative SPD, 360-830nm at 10nm (public standard data, coarse).
-const float kD65[48] = {
-    46.6f, 49.4f, 82.8f, 91.5f, 93.4f, 86.7f, 104.9f, 117.0f, 117.8f, 114.9f,
-    115.9f, 108.8f, 109.4f, 107.8f, 104.8f, 107.7f, 104.4f, 104.0f, 100.0f, 96.3f,
-    95.8f, 88.7f, 90.0f, 89.6f, 87.7f, 83.3f, 83.7f, 80.0f, 80.2f, 82.3f,
-    78.3f, 69.7f, 71.6f, 74.3f, 61.6f, 69.9f, 75.1f, 63.6f, 46.4f, 66.8f,
-    63.4f, 64.3f, 59.5f, 52.0f, 57.4f, 60.3f, 58.9f, 60.0f};
+// CIE standard illuminant D65, 360-830nm at 5nm (public CIE 15:2004 data,
+// normalized to 100 at 560nm) — must match core/spectral.py's _D65 so the
+// Python-side sensor model agrees with the fit's.
+const float kD65[95] = {
+    46.64f, 49.36f, 52.09f, 51.03f, 49.98f, 52.31f, 54.65f, 68.70f, 82.75f,
+    87.12f, 91.49f, 92.46f, 93.43f, 90.06f, 86.68f, 95.77f, 104.86f, 110.94f,
+    117.01f, 117.41f, 117.81f, 116.34f, 114.86f, 115.39f, 115.92f, 112.37f,
+    108.81f, 109.08f, 109.35f, 108.58f, 107.80f, 106.30f, 104.79f, 106.24f,
+    107.69f, 106.05f, 104.41f, 104.23f, 104.05f, 102.02f, 100.00f, 98.17f,
+    96.33f, 96.06f, 95.79f, 92.24f, 88.69f, 89.35f, 90.01f, 89.80f, 89.60f,
+    88.65f, 87.70f, 85.49f, 83.29f, 83.49f, 83.70f, 81.86f, 80.03f, 80.12f,
+    80.21f, 81.25f, 82.28f, 80.28f, 78.28f, 74.00f, 69.72f, 70.67f, 71.61f,
+    72.98f, 74.35f, 67.98f, 61.60f, 65.74f, 69.89f, 72.49f, 75.09f, 69.34f,
+    63.59f, 55.01f, 46.42f, 56.61f, 66.81f, 65.09f, 63.38f, 63.84f, 64.30f,
+    61.88f, 59.45f, 55.71f, 51.96f, 54.70f, 57.44f, 58.88f, 60.31f};
 
 inline float d65(float l) {
-  float f = (l - 360.0f) / 10.0f;
-  int i = std::clamp((int)f, 0, 46);
+  float f = (l - 360.0f) / 5.0f;
+  int i = std::clamp((int)f, 0, 93);
   float t = std::clamp(f - i, 0.0f, 1.0f);
   return kD65[i] * (1 - t) + kD65[i + 1] * t;
 }
