@@ -17,6 +17,7 @@ etc.) so vectors map onto full 128-wide lanes.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +26,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.math import RAY_TMAX
 
-BLOCK = 2048  # rays per grid step (VMEM: ~13 f32 arrays x 8KB = comfy)
+# Rays per grid step. VMEM cost is ~16 f32 rows x BLOCK x 4B (~2 MB at 32k),
+# well inside the ~16 MB budget; a LARGE block amortizes the ~us-scale fixed
+# cost per Mosaic grid step, which dominates for small triangle counts
+# (cbox: 36 tris x 2048 rays is only ~4.4 MFLOP/step).
+BLOCK = int(os.environ.get("AKR_BRUTE_BLOCK", "2048"))
 TRI_CHUNK = 512  # triangles per inner grid step (static unroll per chunk)
 
 
@@ -98,18 +103,22 @@ def _kernel(tri_ref, o_ref, d_ref, lim_ref, ex_ref, out_ref, *, num_tris, any_hi
     out_ref[3, :] = best_v
 
 
-@functools.partial(jax.jit, static_argnames=("num_tris", "any_hit", "interpret"))
-def _run(tri, o_soa, d_soa, lim, ex, num_tris, any_hit, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("num_tris", "any_hit", "interpret", "block")
+)
+def _run(tri, o_soa, d_soa, lim, ex, num_tris, any_hit, interpret=False,
+         block=None):
+    block = block or BLOCK
     n = o_soa.shape[1]
     if num_tris <= TRI_CHUNK:
-        grid = (n // BLOCK,)
+        grid = (n // block,)
         tri_spec = pl.BlockSpec((tri.shape[0], 12), lambda i: (0, 0), memory_space=pltpu.VMEM)
         ray_ix = lambda i: (0, i)
     else:
         # inner (minor) grid dim walks triangle chunks; the out block index is
         # constant in j, so best-hit state stays resident in VMEM across chunks
         n_chunks = tri.shape[0] // TRI_CHUNK
-        grid = (n // BLOCK, n_chunks)
+        grid = (n // block, n_chunks)
         tri_spec = pl.BlockSpec((TRI_CHUNK, 12), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
         ray_ix = lambda i, j: (0, i)
     return pl.pallas_call(
@@ -118,26 +127,27 @@ def _run(tri, o_soa, d_soa, lim, ex, num_tris, any_hit, interpret=False):
         grid=grid,
         in_specs=[
             tri_spec,
-            pl.BlockSpec((3, BLOCK), ray_ix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLOCK), ray_ix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, BLOCK), ray_ix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLOCK), ray_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block), ray_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block), ray_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, block), ray_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block), ray_ix, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((4, BLOCK), ray_ix, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((4, block), ray_ix, memory_space=pltpu.VMEM),
         interpret=interpret,
     )(tri, o_soa, d_soa, lim, ex)
 
 
 def intersect_pallas(tri_packed, o, d, tmin, tmax, exclude0=None, exclude1=None,
-                     exclude2=None, any_hit=False, interpret=False):
+                     exclude2=None, any_hit=False, interpret=False, block=None):
     """tri_packed: [T, 12] (v0|e1|e2|pad) f32; o/d: [N, 3]. Returns Hit / occluded.
 
-    N is padded to BLOCK internally.
+    N is padded to the ray-block size internally.
     """
     from .trace import Hit
 
+    block = block or BLOCK
     n = o.shape[0]
-    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    n_pad = ((n + block - 1) // block) * block
     pad = n_pad - n
 
     def pad1(x, fill=0.0):
@@ -150,7 +160,8 @@ def intersect_pallas(tri_packed, o, d, tmin, tmax, exclude0=None, exclude1=None,
         return pad1(e.astype(jnp.float32), -1.0) if e is not None else jnp.full((n_pad,), -1.0)
 
     ex = jnp.stack([pad_ex(exclude0), pad_ex(exclude1), pad_ex(exclude2)], axis=0)
-    out = _run(tri_packed, o_soa, d_soa, lim, ex, int(tri_packed.shape[0]), any_hit, interpret)
+    out = _run(tri_packed, o_soa, d_soa, lim, ex, int(tri_packed.shape[0]),
+               any_hit, interpret, block)
     t = out[0, :n]
     tri_id = out[1, :n].astype(jnp.int32)
     if any_hit:

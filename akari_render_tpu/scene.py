@@ -392,16 +392,13 @@ class Scene:
         import jax
 
         a = self.arrays
-        if self.num_tris <= self.ONE_HOT_MAX_TRIS:
-            oh = jax.nn.one_hot(t, a.attr.shape[0], dtype=jnp.float32)
-            # GEOMETRY goes through this matmul: TPU f32 matmuls default to
-            # bf16 passes, which quantizes vertex positions (visible as
-            # terracing + corner seams). Force full f32 precision.
-            attr = jnp.matmul(oh, a.attr, precision=jax.lax.Precision.HIGHEST)
-        else:
-            # ONE packed [N, 41] row gather (contiguous 164 B per lane)
-            # instead of 12 scattered per-attribute gathers
-            attr = a.attr[t]
+        # ONE packed [N, 41] row gather (contiguous 164 B per lane) instead
+        # of 12 scattered per-attribute gathers. (A one-hot MXU matmul was
+        # used for small scenes on the "gathers are slowest" assumption —
+        # on-chip bisection showed the [N, T] one-hot + Precision.HIGHEST
+        # matmul materializes 100s of MB in HBM and costs GFLOPs; the row
+        # gather is exact and measured far cheaper at any scene size.)
+        attr = a.attr[t]
         v0 = attr[..., 0:3]
         e1 = attr[..., 3:6]
         e2 = attr[..., 6:9]
@@ -514,15 +511,12 @@ class Scene:
         }
 
     def eval_context(self, si, kind_idx: int) -> EvalContext:
-        """Prefetch all per-lane shader constants with ONE one-hot matmul
-        (gathers are the slowest TPU primitive; an [N, M] @ [M, C] matmul
-        rides the MXU instead)."""
-        import jax
-
+        """Prefetch all per-lane shader constants with ONE row gather from
+        the packed [M, C] material matrix (exact; measured cheaper than the
+        previous one-hot MXU matmul, which materialized the [N, M] one-hot
+        in HBM)."""
         mat_matrix = self.arrays.param_mats[kind_idx]
-        n_mats = mat_matrix.shape[0]
-        onehot = jax.nn.one_hot(si["mat"], n_mats, dtype=jnp.float32)
-        params = jnp.matmul(onehot, mat_matrix, precision=jax.lax.Precision.HIGHEST)
+        params = mat_matrix[si["mat"]]
         return EvalContext(
             params=params,
             uv=si["uv"],

@@ -368,8 +368,22 @@ class _Evaluator:
             )
             if self.static_const(inp[key]) == 0.0
         )
+        # trace-time constants of the albedo-table axes: when roughness/ior
+        # are constant across the kind's materials, the spec/coat albedo
+        # curves bake to [16] numpy constants (no per-lane contraction)
+        static_consts = {
+            name: self.static_const(inp[key])
+            for name, key in (
+                ("roughness", "roughness"),
+                ("ior", "ior"),
+                ("specular_ior_level", "specular_ior_level"),
+                ("coat_roughness", "coat_roughness"),
+                ("coat_ior", "coat_ior"),
+            )
+        }
         bsdf = build_principled_surface(
             static_zero=static_zero,
+            static_consts=static_consts,
             color=color,
             emission=emission,
             metallic=self.f(inp["metallic"]),
@@ -388,11 +402,45 @@ class _Evaluator:
         return normal_map(bsdf, nrm, ctx.ng, ctx.frame, "tangent")
 
 
+def _albedo_fn(table, roughness, eta, roughness_c=None, eta_c=None):
+    """Directional-albedo fn (cos -> [N]) for a GGX dielectric layer.
+
+    Equals ggx_dielectric_albedo(table, roughness, cos, eta) but hoists the
+    view-independent (roughness, eta) table axes out of the per-query path:
+    - both static: the cos curve is a [16] NUMPY constant (free in-graph)
+    - per-lane: ONE albedo_curve contraction per closure, computed lazily on
+      first query and reused (XLA CSE), instead of a full 8.4-GFLOP read_3d
+      contraction per query (4-6 queries per shade; round-4 bisection
+      measured read_3d at ~10 of the 12 ms/Mlane shade dispatch)."""
+    import math
+
+    from .precompute import albedo_curve, albedo_curve_np, curve_eval
+
+    def cmap(cos):
+        return jnp.abs(jnp.clip(cos, -0.999, 0.999))
+
+    if roughness_c is not None and eta_c is not None:
+        zc = math.sqrt(abs((eta_c - 1.0) / (eta_c + 1.0)))
+        curve = jnp.asarray(albedo_curve_np(roughness_c, zc))
+        return lambda cos: curve_eval(curve, cmap(cos))
+
+    z = jnp.sqrt(jnp.abs((eta - 1.0) / (eta + 1.0)))
+    cell = {}
+
+    def fn(cos):
+        if "curve" not in cell:
+            cell["curve"] = albedo_curve(table, roughness, z)
+        return curve_eval(cell["curve"], cmap(cos))
+
+    return fn
+
+
 def build_principled_surface(*, color, emission, metallic, roughness, eta,
                              transmission, specular_ior_level, specular_tint,
                              coat_weight, coat_roughness, coat_ior, coat_tint,
                              fused: bool | None = None,
-                             static_zero: frozenset = frozenset()) -> Surface:
+                             static_zero: frozenset = frozenset(),
+                             static_consts: dict | None = None) -> Surface:
     """Principled BSDF lobe construction (principled.rs:11-199), pre-normal-map.
 
     Two equivalent implementations (A/B tested exactly in test_bsdf.py):
@@ -406,6 +454,7 @@ def build_principled_surface(*, color, emission, metallic, roughness, eta,
         import os
 
         fused = os.environ.get("AKR_FUSED_PRINCIPLED", "1") != "0"
+    sc = static_consts or {}
     transmission_color = jnp.sqrt(jnp.clip(color, 0.0, None))
     table = get_table("ggx_dielectric_s")
     from ..core.math import Frame
@@ -416,11 +465,27 @@ def build_principled_surface(*, color, emission, metallic, roughness, eta,
     spec_eta = jnp.where(specular_ior_level != 0.5, ior_from_f0(f0), eta)
     specular_weight = f0
 
-    def specular_albedo(cos):
-        return ggx_dielectric_albedo(table, roughness, cos, spec_eta)
+    # static spec_eta mirrors the jnp computation above exactly
+    spec_eta_c = None
+    ior_c, siol_c = sc.get("ior"), sc.get("specular_ior_level")
+    if ior_c is not None and siol_c is not None:
+        if siol_c == 0.5:
+            spec_eta_c = ior_c
+        else:
+            import math
 
-    def coat_albedo(cos):
-        return ggx_dielectric_albedo(table, coat_roughness, cos, coat_ior)
+            t = (ior_c - 1.0) / (ior_c + 1.0)
+            f0_c = t * t * 2.0 * siol_c
+            s = math.sqrt(min(max(f0_c, 0.0), 0.99))
+            spec_eta_c = (1.0 + s) / (1.0 - s)
+
+    specular_albedo = _albedo_fn(
+        table, roughness, spec_eta, sc.get("roughness"), spec_eta_c
+    )
+    coat_albedo = _albedo_fn(
+        table, coat_roughness, coat_ior, sc.get("coat_roughness"),
+        sc.get("coat_ior"),
+    )
 
     if fused:
         from .principled_fused import FusedPrincipled

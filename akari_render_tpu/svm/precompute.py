@@ -100,10 +100,15 @@ def _lerp_weights(c, size):
 
 def read_3d(table, x, y, z):
     """Trilinear lookup matching the reference's read_3d (mod.rs:1212-1262),
-    implemented gather-free as a factorized tensor contraction: per-axis
-    trilinear weight vectors contracted against the 16^3 table — one small
-    MXU matmul + two masked reductions instead of 8 scattered gathers per
-    lane (gathers are the slowest primitive on TPU)."""
+    implemented gather-free as a factorized tensor contraction.
+
+    Perf notes from the round-4 on-chip bisection: at 1M lanes this costs
+    8.4 GFLOP + a [N, X*Y] HBM intermediate per call (~10 ms) — and an
+    8-corner-gather rewrite measured 14x WORSE (gathers inside large TPU
+    fusions scalarize). Hot closures therefore avoid per-query read_3d
+    entirely: the (x, z) axes are view-independent, so they hoist a cos
+    curve once per closure (albedo_curve/curve_eval below) and pay ~100
+    flops per query. read_3d stays as the general/reference-exact form."""
     X, Y, Z = table.shape
     wx = _lerp_weights(x, X)  # [N, X]
     wy = _lerp_weights(y, Y)
@@ -112,6 +117,52 @@ def read_3d(table, x, y, z):
     t2 = (wz @ table.reshape(X * Y, Z).T).reshape(wz.shape[:-1] + (X, Y))
     t1 = jnp.einsum("...xy,...y->...x", t2, wy)
     return jnp.einsum("...x,...x->...", t1, wx)
+
+
+def albedo_curve(table, x, z):
+    """Contract the [X, Y, Z] table over its view-INDEPENDENT axes
+    (x = roughness, z = f0-ish eta parameter) -> per-lane cos curve [..., Y].
+
+    Closures call this ONCE at construction (x/z never depend on wo/wi) and
+    evaluate each directional-albedo query with curve_eval — replacing 4-6
+    full read_3d contractions per shade dispatch with one."""
+    X, Y, Z = table.shape
+    wx = _lerp_weights(x, X)  # [N, X]
+    wz = _lerp_weights(z, Z)  # [N, Z]
+    # [N, Z] @ [Z, X*Y] -> [N, X, Y], then weight-sum over X -> [N, Y]
+    t2 = (wz @ table.reshape(X * Y, Z).T).reshape(wz.shape[:-1] + (X, Y))
+    return jnp.einsum("...xy,...x->...y", t2, wx)
+
+
+def albedo_curve_np(x: float, z: float, name: str = "ggx_dielectric_s"):
+    """Static-constant fast path: numpy bilinear contraction at trace time.
+    Returns a [Y] numpy curve — a free constant in the compiled graph."""
+    get_table(name)  # populate the cache
+    tbl = _cache[name]  # raw NUMPY view (get_table's return is traced in jit)
+    X, Y, Z = tbl.shape
+
+    def prep(v, s):
+        vf = float(np.clip(v, 0.0, 1.0)) * (s - 1.0)
+        i0 = int(np.clip(np.floor(vf), 0, s - 1))
+        i1 = min(i0 + 1, s - 1)
+        return i0, i1, vf - i0
+
+    x0, x1, fx = prep(x, X)
+    z0, z1, fz = prep(z, Z)
+    c0 = tbl[x0, :, z0] * (1 - fz) + tbl[x0, :, z1] * fz
+    c1 = tbl[x1, :, z0] * (1 - fz) + tbl[x1, :, z1] * fz
+    return c0 * (1 - fx) + c1 * fx
+
+
+def curve_eval(curve, cos_y):
+    """Piecewise-linear eval of a [Y]- or [..., Y]-knot curve at cos_y [...].
+
+    Matches read_3d's interpolation on the cos axis exactly (trilinear
+    factorizes per axis); built from a 2-nonzero weight vector contracted
+    elementwise — no gathers (~100 flops/lane for Y=16)."""
+    Y = curve.shape[-1]
+    w = _lerp_weights(cos_y, Y)  # [..., Y]
+    return jnp.sum(curve * w, axis=-1)
 
 
 def ggx_dielectric_albedo(table, roughness, cos_theta_i, eta):
