@@ -218,13 +218,18 @@ def _sorted_kind_dispatch(scene: Scene, si, extra, fn):
 
 
 def _emission_at(scene: Scene, si, wo):
-    """closure.emission at an interaction — constant-folded to a row gather
-    from the per-material emission table when every material's emission is
-    graph-static (the common case; kills two full shader dispatches per
-    bounce). si["mat"] is a global material index, always in range."""
+    """closure.emission at an interaction — constant-folded to a one-hot
+    matmul over the per-material emission table when every material's
+    emission is graph-static (the common case; kills two full shader
+    dispatches per bounce).
+
+    One-hot, NOT a row gather: a [N] gather of 12-byte rows inside the
+    bounce fusion scalarizes on TPU (round-4 measured ~+12 ms/Mlane per
+    such gather vs ~1 ms for the [N, M] one-hot matmul)."""
     ce = scene.arrays.const_emission
     if ce is not None:
-        return ce[si["mat"]]
+        oh = jax.nn.one_hot(si["mat"], ce.shape[0], dtype=jnp.float32)
+        return jnp.matmul(oh, ce, precision=jax.lax.Precision.HIGHEST)
     return _select_by_kind(scene, si, lambda c: c.emission(wo))
 
 

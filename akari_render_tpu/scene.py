@@ -392,13 +392,19 @@ class Scene:
         import jax
 
         a = self.arrays
-        # ONE packed [N, 41] row gather (contiguous 164 B per lane) instead
-        # of 12 scattered per-attribute gathers. (A one-hot MXU matmul was
-        # used for small scenes on the "gathers are slowest" assumption —
-        # on-chip bisection showed the [N, T] one-hot + Precision.HIGHEST
-        # matmul materializes 100s of MB in HBM and costs GFLOPs; the row
-        # gather is exact and measured far cheaper at any scene size.)
-        attr = a.attr[t]
+        if self.num_tris <= self.ONE_HOT_MAX_TRIS:
+            oh = jax.nn.one_hot(t, a.attr.shape[0], dtype=jnp.float32)
+            # GEOMETRY goes through this matmul: TPU f32 matmuls default to
+            # bf16 passes, which quantizes vertex positions (visible as
+            # terracing + corner seams). Force full f32 precision.
+            # (Round-4 A/B: replacing this with a row gather measured the
+            # depth-12 cbox pass 40% SLOWER — gathers inside the bounce
+            # fusion scalarize on TPU; the one-hot matmul fuses cleanly.)
+            attr = jnp.matmul(oh, a.attr, precision=jax.lax.Precision.HIGHEST)
+        else:
+            # ONE packed [N, 41] row gather (contiguous 164 B per lane)
+            # instead of 12 scattered per-attribute gathers
+            attr = a.attr[t]
         v0 = attr[..., 0:3]
         e1 = attr[..., 3:6]
         e2 = attr[..., 6:9]
@@ -511,12 +517,16 @@ class Scene:
         }
 
     def eval_context(self, si, kind_idx: int) -> EvalContext:
-        """Prefetch all per-lane shader constants with ONE row gather from
-        the packed [M, C] material matrix (exact; measured cheaper than the
-        previous one-hot MXU matmul, which materialized the [N, M] one-hot
-        in HBM)."""
+        """Prefetch all per-lane shader constants with ONE one-hot matmul.
+        (A row gather measured WORSE here: small-row gathers inside the
+        shade fusion scalarize on TPU — round-4 bisection. The [N, M]
+        one-hot rides the MXU and fuses cleanly; M = materials is small.)"""
+        import jax
+
         mat_matrix = self.arrays.param_mats[kind_idx]
-        params = mat_matrix[si["mat"]]
+        n_mats = mat_matrix.shape[0]
+        onehot = jax.nn.one_hot(si["mat"], n_mats, dtype=jnp.float32)
+        params = jnp.matmul(onehot, mat_matrix, precision=jax.lax.Precision.HIGHEST)
         return EvalContext(
             params=params,
             uv=si["uv"],
