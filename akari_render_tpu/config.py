@@ -106,6 +106,10 @@ class GPTConfig:
     # reference-exact Weighted mode: inverse-variance neighbor weights +
     # the per-iteration primal-weight prefix schedule (gpt.rs:505-514).
     uniform_weights: bool = True
+    # the reference's `reconnect: bool` (gpt.rs:42, default true). None =
+    # use render_gpt's measured default (pss; see BENCH_MSE_GLOSSY.json
+    # "conclusion"); an explicit method-JSON value wins.
+    reconnect: bool | None = None
 
     @staticmethod
     def from_json(d: dict) -> "GPTConfig":
@@ -120,6 +124,7 @@ class GPTConfig:
             shift_mapping_min_roughness=d.get("shift_mapping_min_roughness", 0.2),
             stride=d.get("stride", 1),
             uniform_weights=d.get("uniform_weights", True),
+            reconnect=d.get("reconnect"),
         )
 
 

@@ -554,7 +554,7 @@ def render_mcmc_sharded(scene, config, task=None, mesh: Mesh | None = None,
 
 # ---- GPT -----------------------------------------------------------------------
 def render_gpt_sharded(scene, config, task=None, mesh: Mesh | None = None,
-                       progress_cb=None, shift_mode: str = "reconnect",
+                       progress_cb=None, shift_mode: str | None = None,
                        session=None):
     """Multi-chip gradient-domain PT: pixels sharded over "d"; each device
     accumulates six private full-frame films (gradient splats cross shard
@@ -565,10 +565,14 @@ def render_gpt_sharded(scene, config, task=None, mesh: Mesh | None = None,
     per-device pixel chunking against the dispatch watchdog (a GPT sample is
     ~6 path traces, so each device traces row blocks of its pixel range, one
     block per dispatch) + session stats / save-intermediate / display."""
-    from ..integrators.gpt import gpt_sample_films, screened_poisson
+    from ..integrators.gpt import DEFAULT_SHIFT_MODE, gpt_sample_films, screened_poisson
     from ..integrators.mcmc import sample_dimension
 
     t0 = time.time()
+    if shift_mode is None:  # same resolution as render_gpt
+        rc = getattr(config, "reconnect", None)
+        shift_mode = (DEFAULT_SHIFT_MODE if rc is None
+                      else ("reconnect" if rc else "pss"))
     mesh = mesh or make_mesh()
     ndev = mesh.devices.size
     width, height = scene.camera.width, scene.camera.height

@@ -206,6 +206,20 @@ def test_glossy_shift_mode_record():
     assert 0 < cb["pss"] <= cb["reconnect"] < 1.25 * cb["pss"], cb
     for a, b in zip(cb["per_set"]["pss"], cb["per_set"]["reconnect"]):
         assert 0 < a <= b, cb["per_set"]
+    # blinds (r3 verdict item 7): the fixture DESIGNED for reconnection
+    # (diffuse receivers + hard slat visibility). Measured: pss still wins,
+    # every seed — the third fixture in a row. The record carries the
+    # conclusion; the default shift_mode must match the evidence.
+    bl = rec["blinds"]["mse"]
+    for a, b in zip(bl["pss"], bl["reconnect"]):
+        assert 0 < a <= b, bl
+    assert "conclusion" in rec
+    from akari_render_tpu.config import GPTConfig
+    from akari_render_tpu.integrators.gpt import DEFAULT_SHIFT_MODE
+    assert DEFAULT_SHIFT_MODE == "pss"
+    # the reference's method-JSON `reconnect` field still selects the mode
+    assert GPTConfig.from_json({"reconnect": True}).reconnect is True
+    assert GPTConfig.from_json({}).reconnect is None
 
 
 def test_gpt_shift_modes_finite_on_glossy():
