@@ -317,54 +317,102 @@ def _lut1(lut, cos):
 
 
 # ---------------------------------------------------------------- kernel
+MT_CHUNK = 16  # triangle rows per in-kernel sweep step (see _mt_sweep)
+
+
 def _mt_sweep(attr_ref, T, ox, oy, oz, dx, dy, dz, tmin, tmax, ex0, ex1,
               any_hit):
-    """Moller-Trumbore over the whole VMEM tri table: [T, B] outer math.
+    """Moller-Trumbore over the VMEM tri table in MT_CHUNK-row steps.
 
     Returns (t, tri_id, b0, b1) closest (first-slot ties) or occluded bool.
-    Same formulas/epsilons as accel/trace.py::_chunk_hits."""
-    a_x, a_y, a_z = attr_ref[:, 0:1], attr_ref[:, 1:2], attr_ref[:, 2:3]
-    e1x, e1y, e1z = attr_ref[:, 3:4], attr_ref[:, 4:5], attr_ref[:, 5:6]
-    e2x, e2y, e2z = attr_ref[:, 6:7], attr_ref[:, 7:8], attr_ref[:, 8:9]
+    Same formulas/epsilons as accel/trace.py::_chunk_hits.
+
+    The triangle axis is a ROLLED lax.fori_loop over [MT_CHUNK, B] tiles,
+    not one [T, B] expression: Mosaic fully unrolls elementwise vector ops
+    over (8, 128) hardware tiles, so a [512, 1024] intermediate costs 512
+    vregs PER OP and the ~20-op sweep alone blew the kernel up to a 35+
+    minute compile (round-3/4 measurements). [16, 1024] tiles keep the
+    loop body at ~2 vreg-rows per op with a trip count of T/16.
+    render_pt_megakernel pads the table to a MT_CHUNK multiple with
+    degenerate rows (e1 = e2 = 0 -> det == 0 -> never hit)."""
+    n_chunks = (T + MT_CHUNK - 1) // MT_CHUNK
+    B = ox.shape[0]
     wdx, wdy, wdz = dx[None, :], dy[None, :], dz[None, :]
     wox, woy, woz = ox[None, :], oy[None, :], oz[None, :]
-    px = wdy * e2z - wdz * e2y
-    py = wdz * e2x - wdx * e2z
-    pz = wdx * e2y - wdy * e2x
-    det = e1x * px + e1y * py + e1z * pz
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-    tx = wox - a_x
-    ty = woy - a_y
-    tz = woz - a_z
-    u = (tx * px + ty * py + tz * pz) * inv_det
-    qx = ty * e1z - tz * e1y
-    qy = tz * e1x - tx * e1z
-    qz = tx * e1y - ty * e1x
-    v = (qx * wdx + qy * wdy + qz * wdz) * inv_det
-    t = (qx * e2x + qy * e2y + qz * e2z) * inv_det
-    rows = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-    hit = (
-        (jnp.abs(det) > 1e-12)
-        & (u >= 0.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
-        & (t > tmin[None, :])
-        & (t < tmax[None, :])
-        & (rows != ex0[None, :])
-        & (rows != ex1[None, :])
-    )
+
+    def chunk_hits(c):
+        """[MT_CHUNK, B] hit mask (+ t, u, v for closest-hit)."""
+        rows0 = c * MT_CHUNK
+        blk = attr_ref[pl.ds(rows0, MT_CHUNK), :]
+        a_x, a_y, a_z = blk[:, 0:1], blk[:, 1:2], blk[:, 2:3]
+        e1x, e1y, e1z = blk[:, 3:4], blk[:, 4:5], blk[:, 5:6]
+        e2x, e2y, e2z = blk[:, 6:7], blk[:, 7:8], blk[:, 8:9]
+        px = wdy * e2z - wdz * e2y
+        py = wdz * e2x - wdx * e2z
+        pz = wdx * e2y - wdy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tx = wox - a_x
+        ty = woy - a_y
+        tz = woz - a_z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (qx * wdx + qy * wdy + qz * wdz) * inv_det
+        t = (qx * e2x + qy * e2y + qz * e2z) * inv_det
+        rows = rows0 + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        hit = (
+            (jnp.abs(det) > 1e-12)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > tmin[None, :])
+            & (t < tmax[None, :])
+            & (rows != ex0[None, :])
+            & (rows != ex1[None, :])
+        )
+        return hit, t, u, v, rows
+
     if any_hit:
-        return jnp.any(hit, axis=0)
-    t_m = jnp.where(hit, t, jnp.float32(_RAY_TMAX))
-    t_min = jnp.min(t_m, axis=0)
-    is_min = t_m == t_min[None, :]
-    s_min = jnp.min(jnp.where(is_min, rows, jnp.int32(1 << 30)), axis=0)
-    sel = is_min & (rows == s_min[None, :])
-    got = t_min < jnp.float32(_RAY_TMAX)
-    b0 = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
-    b1 = jnp.sum(jnp.where(sel, v, 0.0), axis=0)
-    tri = jnp.where(got, s_min, -1)
-    return t_min, tri, b0, b1, got
+        def occ_body(c, occ):
+            hit, _, _, _, _ = chunk_hits(c)
+            return occ | jnp.any(hit, axis=0)
+
+        return jax.lax.fori_loop(
+            0, n_chunks, occ_body, jnp.zeros((B,), bool)
+        )
+
+    def body(c, carry):
+        best_t, best_row, best_u, best_v = carry
+        hit, t, u, v, rows = chunk_hits(c)
+        t_m = jnp.where(hit, t, jnp.float32(_RAY_TMAX))
+        t_min = jnp.min(t_m, axis=0)
+        is_min = t_m == t_min[None, :]
+        s_min = jnp.min(jnp.where(is_min, rows, jnp.int32(1 << 30)), axis=0)
+        sel = is_min & (rows == s_min[None, :])
+        b0 = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
+        b1 = jnp.sum(jnp.where(sel, v, 0.0), axis=0)
+        # strict <: earlier chunks hold smaller row ids, so ties keep the
+        # first slot exactly like the single-sweep formulation
+        better = t_min < best_t
+        return (
+            jnp.where(better, t_min, best_t),
+            jnp.where(better, s_min, best_row),
+            jnp.where(better, b0, best_u),
+            jnp.where(better, b1, best_v),
+        )
+
+    init = (
+        jnp.full((B,), _RAY_TMAX, jnp.float32),
+        jnp.full((B,), 1 << 30, jnp.int32),
+        jnp.zeros((B,), jnp.float32),
+        jnp.zeros((B,), jnp.float32),
+    )
+    best_t, best_row, b0, b1 = jax.lax.fori_loop(0, n_chunks, body, init)
+    got = best_t < jnp.float32(_RAY_TMAX)
+    tri = jnp.where(got, best_row, -1)
+    return best_t, tri, b0, b1, got
 
 
 def _make_kernel(scene, settings, spp_chunk, seed, has_spec, has_metal,
@@ -378,7 +426,9 @@ def _make_kernel(scene, settings, spp_chunk, seed, has_spec, has_metal,
     r2c = np.asarray(cam.r2c, np.float64)
     c2w = np.asarray(cam.c2w, np.float64)
     width = cam.width
-    T = int(scene.arrays.attr.shape[0])
+    # padded row count (MT_CHUNK multiple; render_pt_megakernel pads the
+    # table with zero rows: e1 = e2 = 0 -> det == 0 -> never hit)
+    T = -(-int(scene.arrays.attr.shape[0]) // MT_CHUNK) * MT_CHUNK
     M = int(scene.arrays.const_emission.shape[0])
     L = int(scene.arrays.lights.sel_prob.shape[0])
     S = int(scene.arrays.lights.tri_prob.shape[0])
@@ -1020,7 +1070,11 @@ def render_pt_megakernel(scene, config, task=None, progress_cb=None,
     )
 
     spp_chunk = min(config.spp, config.spp_per_pass)
-    T = int(a.attr.shape[0])
+    # pad the tri table to a MT_CHUNK multiple (zero rows never hit) so the
+    # in-kernel chunked sweep's dynamic slices stay in bounds
+    T0 = int(a.attr.shape[0])
+    T = -(-T0 // MT_CHUNK) * MT_CHUNK
+    attr_in = a.attr if T == T0 else jnp.pad(a.attr, ((0, T - T0), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # s0 (start sample) [1]
         grid=(nb,),
@@ -1085,7 +1139,7 @@ def render_pt_megakernel(scene, config, task=None, progress_cb=None,
     ):
         for _ in range(2):  # first run compiles, second times
             tp = time.time()
-            out = get_run(1)(a.attr, a.const_emission, lsel, loff, ltab,
+            out = get_run(1)(attr_in, a.const_emission, lsel, loff, ltab,
                              tab_j, jnp.asarray([done], jnp.int32))
             acc += np.asarray(out)
             done += 1
@@ -1098,7 +1152,7 @@ def render_pt_megakernel(scene, config, task=None, progress_cb=None,
 
     while done < config.spp:
         chunk = min(spp_chunk, config.spp - done)
-        out = get_run(chunk)(a.attr, a.const_emission, lsel, loff, ltab,
+        out = get_run(chunk)(attr_in, a.const_emission, lsel, loff, ltab,
                              tab_j, jnp.asarray([done], jnp.int32))
         acc += np.asarray(out)
         done += chunk

@@ -58,7 +58,7 @@ def max_wavefront_lanes(scene: Scene) -> int:
     from ..scene import _use_pairs
 
     if _use_pairs():
-        from ..accel.pairs import BLOCK
+        from ..accel.pairs import BLOCK, MAXC
 
         k_full = 0
         if a.bvh is not None:
@@ -71,6 +71,14 @@ def max_wavefront_lanes(scene: Scene) -> int:
         budget_elems = 1 << 27
         cap = (budget_elems // max(k_full, 1)) * BLOCK
         cap = max(1 << 16, min(cap, 1 << 20))
+        # SMEM lid: the sweep's scalar-prefetch candidate tables live in
+        # SMEM (tri_ix + xf_ix [B, MAXC] i32 + cent rows ~ B*MAXC*12 B
+        # against the 1 MB cap). Classroom 1080p at a 1M-lane dispatch
+        # (B = 2048, MAXC = 64) used 2 MB -> permanent compile OOM
+        # (round-4 reproduction); cap B so the tables fit with headroom.
+        smem_budget = 450_000  # bytes, of the 1 MB scoped SMEM
+        b_cap = max(64, smem_budget // (MAXC * 12))
+        cap = min(cap, b_cap * BLOCK)
         from .common import _fuse_rays_mode
 
         if _fuse_rays_mode():
