@@ -43,6 +43,7 @@ Design notes (why it looks like this):
 from __future__ import annotations
 
 import functools
+import os as _os
 import time
 
 import jax
@@ -54,7 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 _RAY_TMAX = 1e20  # core.math.RAY_TMAX as a python float (jnp module
 # constants become captured tracers inside a pallas kernel)
 
-BLOCK_MK = 1024
+BLOCK_MK = int(_os.environ.get("AKR_MK_BLOCK", "1024"))
 _HI = jax.lax.Precision.HIGHEST
 
 # offset_ray_origin constants (core/math.py:70-87)
@@ -1013,6 +1014,54 @@ def _bake_shading(scene):
 _RUNS: dict = {}  # (scene id, static config) -> (jitted pass, scene ref)
 
 
+def _light_tables(a):
+    """Packed light alias tables for the kernel's VMEM blocks."""
+    lsel = jnp.stack([a.lights.sel_prob,
+                      a.lights.sel_alias.astype(jnp.float32),
+                      a.lights.sel_pdf])  # [3, L]
+    loff = jnp.stack([a.lights.offset.astype(jnp.float32),
+                      a.lights.count.astype(jnp.float32)])  # [2, L]
+    ltab = jnp.stack([a.lights.tri_prob,
+                      a.lights.tri_alias.astype(jnp.float32),
+                      a.lights.tri_pdf,
+                      a.lights.tri_ids.astype(jnp.float32)])  # [4, S]
+    return lsel, loff, ltab
+
+
+def _pass_grid_spec(a, npix):
+    """(padded attr table, PrefetchScalarGridSpec) for one megakernel pass.
+
+    Shared between render_pt_megakernel and the Mosaic-lowering tripwire
+    (tests/test_tpu_lowering.py) so the spec the tests validate is the one
+    production dispatches. The tri table pads to a MT_CHUNK multiple (zero
+    rows never hit) so the in-kernel chunked sweep's dynamic slices stay in
+    bounds."""
+    M = int(a.const_emission.shape[0])
+    L = int(a.lights.sel_prob.shape[0])
+    S = int(a.lights.tri_prob.shape[0])
+    npad = ((npix + BLOCK_MK - 1) // BLOCK_MK) * BLOCK_MK
+    nb = npad // BLOCK_MK
+    T0 = int(a.attr.shape[0])
+    T = -(-T0 // MT_CHUNK) * MT_CHUNK
+    attr_in = a.attr if T == T0 else jnp.pad(a.attr, ((0, T - T0), (0, 0)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # s0 (start sample) [1]
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((T, 41), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, 3), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, L), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, L), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, S), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, MAT_COLS), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, BLOCK_MK), lambda i, s: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    return attr_in, grid_spec
+
+
 def render_pt_megakernel(scene, config, task=None, progress_cb=None,
                          session=None):
     """Megakernel render path; caller must have checked megakernel_eligible.
@@ -1048,18 +1097,7 @@ def render_pt_megakernel(scene, config, task=None, progress_cb=None,
     fr = float(filt.radius)
 
     npad = ((npix + BLOCK_MK - 1) // BLOCK_MK) * BLOCK_MK
-    nb = npad // BLOCK_MK
-    L = int(a.lights.sel_prob.shape[0])
-    S = int(a.lights.tri_prob.shape[0])
-    lsel = jnp.stack([a.lights.sel_prob,
-                      a.lights.sel_alias.astype(jnp.float32),
-                      a.lights.sel_pdf])  # [3, L]
-    loff = jnp.stack([a.lights.offset.astype(jnp.float32),
-                      a.lights.count.astype(jnp.float32)])  # [2, L]
-    ltab = jnp.stack([a.lights.tri_prob,
-                      a.lights.tri_alias.astype(jnp.float32),
-                      a.lights.tri_pdf,
-                      a.lights.tri_ids.astype(jnp.float32)])  # [4, S]
+    lsel, loff, ltab = _light_tables(a)
     tab_j = jnp.asarray(tab)
 
     import os
@@ -1070,26 +1108,7 @@ def render_pt_megakernel(scene, config, task=None, progress_cb=None,
     )
 
     spp_chunk = min(config.spp, config.spp_per_pass)
-    # pad the tri table to a MT_CHUNK multiple (zero rows never hit) so the
-    # in-kernel chunked sweep's dynamic slices stay in bounds
-    T0 = int(a.attr.shape[0])
-    T = -(-T0 // MT_CHUNK) * MT_CHUNK
-    attr_in = a.attr if T == T0 else jnp.pad(a.attr, ((0, T - T0), (0, 0)))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # s0 (start sample) [1]
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((T, 41), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, 3), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, L), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, L), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, S), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, MAT_COLS), lambda i, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((4, BLOCK_MK), lambda i, s: (0, i),
-                               memory_space=pltpu.VMEM),
-    )
+    attr_in, grid_spec = _pass_grid_spec(a, npix)
 
     def get_run(chunk):
         # process-wide memo: repeat renders of the same scene/config reuse

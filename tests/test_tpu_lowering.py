@@ -133,3 +133,43 @@ def test_brute_pallas_lowers(soup, rays):
         lambda o_, d_, t0, t1: intersect_pallas(
             tri, o_, d_, t0, t1, interpret=False).t,
         o, d, tmin, tmax)
+
+
+def test_megakernel_lowers_cbox():
+    """The megakernel pass lowers through Mosaic at the production spec
+    (kernel body + grid spec shared with render_pt_megakernel via
+    _pass_grid_spec). Covers the chunked in-kernel MT sweep's dynamic
+    slices and the full shading cascade for cbox-class materials."""
+    from jax.experimental import pallas as pl
+
+    import akari_render_tpu.integrators.megakernel as mk
+    from akari_render_tpu.core.filters import GaussianFilter
+    from akari_render_tpu.integrators.common import PTSettings
+    from akari_render_tpu.scene import load_scene
+
+    scene = load_scene(
+        "/root/reference/scenes/cbox/scene.json", width=128, height=128
+    )
+    settings = PTSettings(max_depth=12, rr_depth=5)
+    assert mk.megakernel_eligible(scene, settings, None, GaussianFilter(1.5))
+    tab, has_spec, has_metal = mk._bake_shading(scene)
+    npix = 128 * 128
+    kernel = mk._make_kernel(
+        scene, settings, 1, 0, has_spec, has_metal, "gaussian", 1.5, npix
+    )
+    a = scene.arrays
+    attr_in, grid_spec = mk._pass_grid_spec(a, npix)
+    lsel, loff, ltab = mk._light_tables(a)
+    npad = ((npix + mk.BLOCK_MK - 1) // mk.BLOCK_MK) * mk.BLOCK_MK
+
+    def run_pass(attr, ce, lsel, loff, ltab, mat_in, s0):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((4, npad), jnp.float32),
+            grid_spec=grid_spec,
+        )(s0, attr, ce, lsel, loff, ltab, mat_in)
+
+    lower_tpu(
+        run_pass, attr_in, a.const_emission, lsel, loff, ltab,
+        jnp.asarray(tab), jnp.zeros((1,), jnp.int32),
+    )
