@@ -328,12 +328,16 @@ def _mt_sweep(attr_ref, T, ox, oy, oz, dx, dy, dz, tmin, tmax, ex0, ex1,
     Returns (t, tri_id, b0, b1) closest (first-slot ties) or occluded bool.
     Same formulas/epsilons as accel/trace.py::_chunk_hits.
 
-    The triangle axis is a ROLLED lax.fori_loop over [MT_CHUNK, B] tiles,
-    not one [T, B] expression: Mosaic fully unrolls elementwise vector ops
-    over (8, 128) hardware tiles, so a [512, 1024] intermediate costs 512
-    vregs PER OP and the ~20-op sweep alone blew the kernel up to a 35+
-    minute compile (round-3/4 measurements). [16, 1024] tiles keep the
-    loop body at ~2 vreg-rows per op with a trip count of T/16.
+    The triangle axis is a PYTHON loop over [MT_CHUNK, B] tiles, not one
+    [T, B] expression: Mosaic fully unrolls elementwise vector ops over
+    (8, 128) hardware tiles, so a [512, 1024] intermediate costs 512 vregs
+    PER OP and the ~20-op sweep alone blew the kernel up to a 35+ minute
+    compile (round-3/4 measurements). Small static tiles keep each op at a
+    few vreg-rows. NOT a lax.fori_loop: dynamic slices inside a fori
+    nested under the bounce while_loop sent the remote TPU compiler into a
+    pathological state (round-4 probe: a trivial nested-loop kernel
+    compiled >10 min; the full kernel crashed the compile helper with
+    HTTP 500), while the same math as static slices compiles normally.
     render_pt_megakernel pads the table to a MT_CHUNK multiple with
     degenerate rows (e1 = e2 = 0 -> det == 0 -> never hit)."""
     n_chunks = (T + MT_CHUNK - 1) // MT_CHUNK
@@ -342,9 +346,9 @@ def _mt_sweep(attr_ref, T, ox, oy, oz, dx, dy, dz, tmin, tmax, ex0, ex1,
     wox, woy, woz = ox[None, :], oy[None, :], oz[None, :]
 
     def chunk_hits(c):
-        """[MT_CHUNK, B] hit mask (+ t, u, v for closest-hit)."""
+        """[MT_CHUNK, B] hit mask (+ t, u, v for closest-hit). c static."""
         rows0 = c * MT_CHUNK
-        blk = attr_ref[pl.ds(rows0, MT_CHUNK), :]
+        blk = attr_ref[rows0:rows0 + MT_CHUNK, :]
         a_x, a_y, a_z = blk[:, 0:1], blk[:, 1:2], blk[:, 2:3]
         e1x, e1y, e1z = blk[:, 3:4], blk[:, 4:5], blk[:, 5:6]
         e2x, e2y, e2z = blk[:, 6:7], blk[:, 7:8], blk[:, 8:9]
@@ -376,15 +380,19 @@ def _mt_sweep(attr_ref, T, ox, oy, oz, dx, dy, dz, tmin, tmax, ex0, ex1,
         return hit, t, u, v, rows
 
     if any_hit:
-        def occ_body(c, occ):
+        occ = jnp.zeros((B,), bool)
+        for c in range(n_chunks):
             hit, _, _, _, _ = chunk_hits(c)
-            return occ | jnp.any(hit, axis=0)
+            occ = occ | jnp.any(hit, axis=0)
+        return occ
 
-        return jax.lax.fori_loop(
-            0, n_chunks, occ_body, jnp.zeros((B,), bool)
-        )
-
-    def body(c, carry):
+    carry = (
+        jnp.full((B,), _RAY_TMAX, jnp.float32),
+        jnp.full((B,), 1 << 30, jnp.int32),
+        jnp.zeros((B,), jnp.float32),
+        jnp.zeros((B,), jnp.float32),
+    )
+    for c in range(n_chunks):
         best_t, best_row, best_u, best_v = carry
         hit, t, u, v, rows = chunk_hits(c)
         t_m = jnp.where(hit, t, jnp.float32(_RAY_TMAX))
@@ -397,20 +405,13 @@ def _mt_sweep(attr_ref, T, ox, oy, oz, dx, dy, dz, tmin, tmax, ex0, ex1,
         # strict <: earlier chunks hold smaller row ids, so ties keep the
         # first slot exactly like the single-sweep formulation
         better = t_min < best_t
-        return (
+        carry = (
             jnp.where(better, t_min, best_t),
             jnp.where(better, s_min, best_row),
             jnp.where(better, b0, best_u),
             jnp.where(better, b1, best_v),
         )
-
-    init = (
-        jnp.full((B,), _RAY_TMAX, jnp.float32),
-        jnp.full((B,), 1 << 30, jnp.int32),
-        jnp.zeros((B,), jnp.float32),
-        jnp.zeros((B,), jnp.float32),
-    )
-    best_t, best_row, b0, b1 = jax.lax.fori_loop(0, n_chunks, body, init)
+    best_t, best_row, b0, b1 = carry
     got = best_t < jnp.float32(_RAY_TMAX)
     tri = jnp.where(got, best_row, -1)
     return best_t, tri, b0, b1, got
