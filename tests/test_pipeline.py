@@ -252,3 +252,28 @@ def test_render_task_multi(tmp_path):
     mp.write_text(_json.dumps(multi))
     main(["-s", "/root/reference/scenes/cbox/scene.json", "-m", str(mp), "--res", "8"])
     assert (tmp_path / "a.exr").exists() and (tmp_path / "b.exr").exists()
+
+
+def test_lane_cap_respects_smem_budget():
+    """The pair sweep's scalar-prefetch tables (tri_ix + xf_ix + cent,
+    ~B*MAXC*12 bytes) must fit the 1 MB scoped-SMEM cap with headroom —
+    classroom 1080p hit a permanent TPU compile OOM at 2 MB before
+    max_wavefront_lanes learned the constraint (round 4)."""
+    import os
+
+    from akari_render_tpu.accel.pairs import BLOCK, MAXC
+    from akari_render_tpu.integrators.pt import max_wavefront_lanes
+    from akari_render_tpu.scene import load_scene
+
+    if os.environ.get("AKR_MAX_LANES"):
+        import pytest
+
+        pytest.skip("explicit lane override in env")
+    scene = load_scene("scenes/classroom/scene.json", width=256, height=256)
+    if scene.arrays.unified is None and scene.arrays.bvh is None:
+        import pytest
+
+        pytest.skip("classroom not on the pairs tier in this config")
+    cap = max_wavefront_lanes(scene)
+    b = -(-cap // BLOCK)
+    assert b * MAXC * 12 <= 524_288, (cap, b, MAXC)
