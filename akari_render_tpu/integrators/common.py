@@ -509,7 +509,30 @@ def trace_paths(
             out["albedo"] = closure.albedo(ex["wo"])
             return out
 
-        sh = dispatch_shade(scene, si, extra, shade, force_diffuse=settings.force_diffuse)
+        sh = None
+        if (
+            spectral is None
+            and ls is not None
+            and not settings.force_diffuse
+        ):
+            # Pallas fused-shade kernel (integrators/pallas_shade.py): the
+            # whole shade dispatch in one kernel, VMEM-resident — measured
+            # escape from the XLA formulation's per-fusion-boundary HBM
+            # materialization (round-4). Numeric drop-in (A/B-tested);
+            # falls through when the scene's kinds don't bake.
+            import os as _os2
+
+            mode = _os2.environ.get("AKR_PALLAS_SHADE", "1")
+            if mode != "0":
+                from ..scene import _on_tpu
+                from .pallas_shade import pallas_shade, shade_bake
+
+                if (mode == "force" or _on_tpu()) and shade_bake(scene) is not None:
+                    sh = pallas_shade(
+                        scene, si, extra, interpret=(mode == "force")
+                    )
+        if sh is None:
+            sh = dispatch_shade(scene, si, extra, shade, force_diffuse=settings.force_diffuse)
         st["first_albedo"] = jnp.where(first_mask[..., None], sh["albedo"], st["first_albedo"])
 
         # --- shadow ray + add direct (pt.rs:504-513) ---

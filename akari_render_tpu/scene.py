@@ -911,6 +911,11 @@ def load_scene(path: str, width: int | None = None, height: int | None = None) -
     scene.arrays = arrays._replace(
         lights=lights, attr=_build_attr(soup, tri_kind, lights)
     )
+    # bake the fused-shade material table eagerly (concrete arrays; must
+    # never run under a jit trace) — integrators read the cache only
+    from .integrators.pallas_shade import ensure_shade_bake
+
+    ensure_shade_bake(scene)
     return scene
 
 
