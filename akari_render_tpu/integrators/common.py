@@ -516,13 +516,16 @@ def trace_paths(
             and not settings.force_diffuse
         ):
             # Pallas fused-shade kernel (integrators/pallas_shade.py): the
-            # whole shade dispatch in one kernel, VMEM-resident — measured
-            # escape from the XLA formulation's per-fusion-boundary HBM
-            # materialization (round-4). Numeric drop-in (A/B-tested);
-            # falls through when the scene's kinds don't bake.
+            # whole shade dispatch in one kernel, VMEM-resident — the
+            # designed escape from the XLA formulation's per-fusion-boundary
+            # HBM materialization (round-4). Numeric drop-in (A/B-tested).
+            # DEFAULT OFF: embedding the kernel in the bounce while_loop
+            # OOM-kills the round-4 relay's remote compile helper (see
+            # pallas_shade.pallas_shade_enabled); opt in with
+            # AKR_PALLAS_SHADE=1 (TPU) / =force (interpret, CPU tests).
             import os as _os2
 
-            mode = _os2.environ.get("AKR_PALLAS_SHADE", "1")
+            mode = _os2.environ.get("AKR_PALLAS_SHADE", "0")
             if mode != "0":
                 from ..scene import _on_tpu
                 from .pallas_shade import pallas_shade, shade_bake

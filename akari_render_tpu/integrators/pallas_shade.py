@@ -298,7 +298,13 @@ def shade_bake(scene):
 
 
 def pallas_shade_enabled() -> bool:
-    return os.environ.get("AKR_PALLAS_SHADE", "1") != "0"
+    # DEFAULT OFF: the kernel itself is correct (A/B suite) and lowers
+    # through Mosaic, but embedding it in the bounce while_loop makes the
+    # REMOTE compile helper exceed its memory budget (SIGKILL) on the
+    # round-4 relay — the pass then cannot compile at all. Opt-in until
+    # the helper-side OOM is resolved or the kernel is dispatched outside
+    # the fused pass graph.
+    return os.environ.get("AKR_PALLAS_SHADE", "0") != "0"
 
 
 def pallas_shade(scene, si, extra, interpret=False):

@@ -111,6 +111,10 @@ def _measure_megakernel(scene, res_w, res_h, spp, max_depth):
 VARIANTS = {
     "pass,pcg": ("pass", {}),
     "mk": ("mk", {}),
+    # the Pallas fused-shade kernel (opt-in: the remote compile helper
+    # OOMs embedding it in the bounce loop on the round-4 relay; racing it
+    # keeps the A/B measured in case the helper recovers)
+    "pass,pshade": ("pass", {"AKR_PALLAS_SHADE": "1"}),
     "pass,pcg+fuse": ("pass", {"AKR_FUSE_RAYS": "1"}),
     "wf,pcg": ("wf", {}),
     "pass,hash": ("pass", {"AKR_RNG": "hash"}),
@@ -249,6 +253,7 @@ def _best_config(scene, res_w, res_h, spp, max_depth, deadline,
             results[key] = (f"{kind}: " + str(e)[:80],)
             _note(key, results[key][0])
 
+    _race("pass,pshade")
     _race("pass,pcg+fuse")
     _race("wf,pcg")
     _race("pass,hash")
