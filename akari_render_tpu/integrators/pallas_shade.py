@@ -54,7 +54,10 @@ from .megakernel import (
     _lut1,
 )
 
-BLOCK_PS = 2048  # lanes per grid step
+# lanes per grid step: smaller blocks shrink the Mosaic register/compile
+# footprint (each [B] f32 row is B/128 vregs and the kernel keeps ~100
+# values live); the remote compile helper OOMed at 2048
+BLOCK_PS = int(os.environ.get("AKR_PSHADE_BLOCK", "512"))
 
 # input row layout ([NROWS_IN, n]):
 _R_T = 0        # 0:3   shading frame tangent (world)
