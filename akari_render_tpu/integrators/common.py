@@ -217,6 +217,55 @@ def _sorted_kind_dispatch(scene: Scene, si, extra, fn):
     return _unpack_f32(out_rows, out_spec[0])
 
 
+def nee_light_sample(scene: Scene, si, u_light):
+    """Shared NEE front half: sample a light point and its radiance toward
+    the receiver si (pt.rs:470-478, 170-209 + area.rs:83-84).
+
+    Compact fetch (lights.attr): the light sample only needs p/ng/area/mat —
+    when emission is graph-static (the common case) this skips the full
+    41-column surface_interaction + shading-frame build on the light point
+    (round-4 measured ~2 ms/Mlane per SI in the cbox bounce).
+    AKR_COMPACT_NEE=0 reverts; the two paths are bit-identical (same attr
+    rows, same p = v0 + e1*b0 + e2*b1, same one-hot emission matmul)."""
+    import os
+
+    from ..lights import light_point_attrs, sample_light_point_ex
+
+    a = scene.arrays
+    n = si["p"].shape[0]
+    compact = (
+        a.lights.attr is not None
+        and a.const_emission is not None
+        and os.environ.get("AKR_COMPACT_NEE", "1") != "0"
+    )
+    if compact:
+        light, lc_pdf, ltri, lprim_pdf, lbary, lslot = sample_light_point_ex(
+            a.lights, a, u_light[..., 0], u_light[..., 1:]
+        )
+        lp, lng, larea, lmat = light_point_attrs(a.lights, lslot, lbary)
+        ls = finish_light_sample(
+            lc_pdf, lprim_pdf, ltri, lbary, jnp.zeros((n, 3)),
+            lp, lng, larea, si["p"], si["ng"],
+        )
+        ce = a.const_emission
+        oh_m = jax.nn.one_hot(lmat, ce.shape[0], dtype=jnp.float32)
+        l_emission = jnp.matmul(oh_m, ce, precision=jax.lax.Precision.HIGHEST)
+        front_l = dot(ls.wi, lng) < 0.0
+    else:
+        light, lc_pdf, ltri, lprim_pdf, lbary = sample_light_point(
+            a.lights, a, u_light[..., 0], u_light[..., 1:]
+        )
+        lsi = scene.surface_interaction(ltri, lbary)
+        ls = finish_light_sample(
+            lc_pdf, lprim_pdf, ltri, lbary, jnp.zeros((n, 3)),
+            lsi["p"], lsi["ng"], lsi["area"], si["p"], si["ng"],
+        )
+        # emission toward the receiver: direction = -wi (area.rs:83-84)
+        l_emission = _emission_at(scene, lsi, -ls.wi)
+        front_l = dot(ls.wi, lsi["ng"]) < 0.0
+    return ls._replace(li=jnp.where(front_l[..., None], l_emission, 0.0))
+
+
 def _emission_at(scene: Scene, si, wo):
     """closure.emission at an interaction — constant-folded to a one-hot
     matmul over the per-material emission table when every material's
@@ -450,18 +499,7 @@ def trace_paths(
         sampler, u_light = sampler.next_3d()
         nee = settings.use_nee and a.lights.num_lights > 0
         if nee:
-            light, lc_pdf, ltri, lprim_pdf, lbary = sample_light_point(
-                a.lights, a, u_light[..., 0], u_light[..., 1:]
-            )
-            lsi = scene.surface_interaction(ltri, lbary)
-            ls = finish_light_sample(
-                lc_pdf, lprim_pdf, ltri, lbary, jnp.zeros((n, 3)),
-                lsi["p"], lsi["ng"], lsi["area"], si["p"], si["ng"],
-            )
-            # emission toward the receiver: direction = -wi (area.rs:83-84)
-            l_emission = _emission_at(scene, lsi, -ls.wi)
-            front_l = dot(ls.wi, lsi["ng"]) < 0.0
-            ls = ls._replace(li=jnp.where(front_l[..., None], l_emission, 0.0))
+            ls = nee_light_sample(scene, si, u_light)
             light_valid = ls.valid & st["active"]
             if settings.indirect_only:
                 light_valid = light_valid & (cur_depth > 1)

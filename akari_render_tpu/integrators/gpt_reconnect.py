@@ -43,8 +43,8 @@ import jax.numpy as jnp
 
 from ..core.math import RAY_TMAX, dot, face_forward, length, offset_ray_origin
 from ..core.sampling import mis_weight
-from ..lights import finish_light_sample, pdf_direct, sample_light_point
-from .common import PTSettings, _emission_at, dispatch_shade
+from ..lights import pdf_direct
+from .common import PTSettings, _emission_at, dispatch_shade, nee_light_sample
 
 
 class ReconnectionRecord(NamedTuple):
@@ -99,19 +99,9 @@ def _bounce(scene, settings, st, depth, sampler, record_mode,
     beta_at_vertex = st["beta"]
     pair_dist = length(si["p"] - st["prev_p"])
 
-    # NEE (pt.rs:470-513)
+    # NEE (pt.rs:470-513) — shared front half incl. the compact light fetch
     sampler, u_light = sampler.next_3d()
-    light, lc_pdf, ltri, lprim_pdf, lbary = sample_light_point(
-        a.lights, a, u_light[..., 0], u_light[..., 1:]
-    )
-    lsi = scene.surface_interaction(ltri, lbary)
-    ls = finish_light_sample(
-        lc_pdf, lprim_pdf, ltri, lbary, jnp.zeros((n, 3)),
-        lsi["p"], lsi["ng"], lsi["area"], si["p"], si["ng"],
-    )
-    l_emission = _emission_at(scene, lsi, -ls.wi)
-    front_l = dot(ls.wi, lsi["ng"]) < 0.0
-    ls = ls._replace(li=jnp.where(front_l[..., None], l_emission, 0.0))
+    ls = nee_light_sample(scene, si, u_light)
     light_valid = ls.valid & st["active"]
 
     sampler, u_bsdf = sampler.next_3d()

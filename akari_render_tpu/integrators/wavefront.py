@@ -43,9 +43,9 @@ from ..core.film import Film, develop
 from ..core.filters import filter_from_config
 from ..core.math import RAY_TMAX, dot, face_forward, offset_ray_origin
 from ..core.sampling import mis_weight
-from ..lights import finish_light_sample, pdf_direct, sample_light_point
+from ..lights import pdf_direct
 from ..scene import Scene
-from .common import PTSettings, _emission_at, dispatch_shade
+from .common import PTSettings, _emission_at, dispatch_shade, nee_light_sample
 from .pt import max_wavefront_lanes
 
 
@@ -204,17 +204,7 @@ def _bounce_perlane(scene: Scene, settings: PTSettings, st, fused=False):
     sampler, u_light = sampler.next_3d()
     nee = settings.use_nee and a.lights.num_lights > 0
     if nee:
-        light, lc_pdf, ltri, lprim_pdf, lbary = sample_light_point(
-            a.lights, a, u_light[..., 0], u_light[..., 1:]
-        )
-        lsi = scene.surface_interaction(ltri, lbary)
-        ls = finish_light_sample(
-            lc_pdf, lprim_pdf, ltri, lbary, jnp.zeros((n, 3)),
-            lsi["p"], lsi["ng"], lsi["area"], si["p"], si["ng"],
-        )
-        l_emission = _emission_at(scene, lsi, -ls.wi)
-        front_l = dot(ls.wi, lsi["ng"]) < 0.0
-        ls = ls._replace(li=jnp.where(front_l[..., None], l_emission, 0.0))
+        ls = nee_light_sample(scene, si, u_light)
         light_valid = ls.valid & st["active"]
         if settings.indirect_only:
             light_valid = light_valid & (cur_depth > 1)

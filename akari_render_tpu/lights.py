@@ -39,6 +39,14 @@ class LightArrays(NamedTuple):
     # reverse maps
     tri_prim_pdf: jnp.ndarray  # [T] pdf of tri within its light (0 if not a light)
     tri_light_id: jnp.ndarray  # [T] int32 light id or -1
+    # compact per-table-entry geometry for the NEE fetch: [S, 14]
+    # (v0[3], e1[3], e2[3], ng[3], area, mat) — aligned with tri_ids. The
+    # full surface_interaction fetches 41 attribute columns and builds
+    # shading frames/tangents the light sample never uses; this table lets
+    # the NEE path fetch exactly what finish_light_sample + the constant
+    # emission lookup need (light_point_attrs below). None until load_scene
+    # fills it (placeholder scenes / L == 0).
+    attr: jnp.ndarray | None = None
 
     @property
     def num_lights(self) -> int:
@@ -116,6 +124,13 @@ def sample_light_point(lights: LightArrays, scene_geo, u_select, u_sample):
     """Pick (light, triangle, barycentric point): the geometric half of
     AreaLight::sample_direct (area.rs:50-70). Returns per-lane triangle data;
     emission evaluation happens in the caller (needs the SVM)."""
+    return sample_light_point_ex(lights, scene_geo, u_select, u_sample)[:5]
+
+
+def sample_light_point_ex(lights: LightArrays, scene_geo, u_select, u_sample):
+    """sample_light_point + the sampled table SLOT (index into the
+    concatenated per-light tables / lights.attr rows) for the compact
+    NEE attribute fetch."""
     L = lights.num_lights
     # light pick
     scaled = u_select * L
@@ -134,9 +149,42 @@ def sample_light_point(lights: LightArrays, scene_geo, u_select, u_sample):
     local_tri, prim_pdf, _ = _alias_sample(
         lights.tri_prob, lights.tri_alias, lights.tri_pdf, base, count, jnp.clip(u_rem, 0.0, 1.0 - 1e-7)
     )
-    tri = lights.tri_ids[base + local_tri]
+    slot = base + local_tri
+    tri = lights.tri_ids[slot]
     bary = uniform_sample_triangle(u_sample)
-    return light, light_choice_pdf, tri, prim_pdf, bary
+    return light, light_choice_pdf, tri, prim_pdf, bary, slot
+
+
+# one-hot-matmul cutoff for the compact table (same rationale as
+# Scene.ONE_HOT_MAX_TRIS: below this an [N, S] @ [S, 14] MXU pass fuses
+# cleanly into the bounce; above it a 56 B row gather wins)
+LIGHT_ATTR_ONE_HOT_MAX = 2048
+
+
+def light_point_attrs(lights: LightArrays, slot, bary):
+    """Compact NEE fetch at a sampled table slot: (p, ng, area, mat).
+
+    Replaces the full surface_interaction(ltri, lbary) on the light point —
+    the full fetch pulls 41 columns and builds shading frames/tangents that
+    finish_light_sample never reads (round-4 measured ~2 ms/Mlane per SI in
+    the cbox bounce). Bit-identical attribute values: rows are copied from
+    the same attr matrix and p uses the same v0 + e1*b0 + e2*b1 formula."""
+    import jax
+
+    la = lights.attr
+    s_total = la.shape[0]
+    if s_total <= LIGHT_ATTR_ONE_HOT_MAX:
+        oh = jax.nn.one_hot(slot, s_total, dtype=jnp.float32)
+        rows = jnp.matmul(oh, la, precision=jax.lax.Precision.HIGHEST)
+    else:
+        rows = la[jnp.clip(slot, 0, s_total - 1)]
+    b0 = bary[..., 0:1]
+    b1 = bary[..., 1:2]
+    p = rows[..., 0:3] + rows[..., 3:6] * b0 + rows[..., 6:9] * b1
+    ng = rows[..., 9:12]
+    area = rows[..., 12]
+    mat = rows[..., 13].astype(jnp.int32)
+    return p, ng, area, mat
 
 
 def finish_light_sample(

@@ -908,9 +908,20 @@ def load_scene(path: str, width: int | None = None, height: int | None = None) -
             light_tris.append(tri_ids)
 
     lights = LightArrays.build(light_powers, light_tris, num_tris)
-    scene.arrays = arrays._replace(
-        lights=lights, attr=_build_attr(soup, tri_kind, lights)
-    )
+    attr = _build_attr(soup, tri_kind, lights)
+    if lights.num_lights > 0:
+        # compact NEE table (lights.light_point_attrs): the 13 geometry
+        # columns + the material id, at the light-table rows. Light tris are
+        # always flat-soup ids (emissive geometry is excluded from
+        # instancing), so attr rows exist for every entry.
+        rows = np.asarray(attr)[np.asarray(lights.tri_ids)]
+        lights = lights._replace(
+            attr=jnp.asarray(
+                np.concatenate([rows[:, :13], rows[:, 38:39]], axis=1),
+                dtype=jnp.float32,
+            )
+        )
+    scene.arrays = arrays._replace(lights=lights, attr=attr)
     # bake the fused-shade material table eagerly (concrete arrays; must
     # never run under a jit trace) — integrators read the cache only
     from .integrators.pallas_shade import ensure_shade_bake
