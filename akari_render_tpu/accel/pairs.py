@@ -65,24 +65,70 @@ WINDOW_MULT = 16  # conservative candidates examined per swept candidate:
 # the 2M-tri heightfield (0.237 -> 0.289 Mrays/s) and ties on classroom.
 
 
-def _morton_keys(o, d, lo, hi):
-    """uint32 sort key: 3-bit direction octant (major) | 27-bit origin morton."""
-    g = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-20) * 512.0, 0.0, 511.0)
-    g = g.astype(jnp.uint32)
+def _sort_key_mode() -> str:
+    """AKR_SORT_KEY: ray sort key layout for the block former.
 
-    def spread(x):  # 9 bits -> every 3rd bit of 27
-        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
-        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
-        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
-        x = (x | (x << 2)) & jnp.uint32(0x09249249)
-        return x
+    - "o"  : octant(3) | origin morton 9 bits/axis (27)  [rounds 1-4 layout]
+    - "dK" : octant(3) | direction morton K bits/axis | origin morton
+             (9-K) bits/axis — direction-major beyond the octant, so blocks
+             become narrow CONES. K in 1..9.
+    - "i"  : octant(3) | 6-D interleave (origin+|dir|, ~5 bits/dim, origin
+             bit first per level) — balances cone width and origin spread.
 
-    m = spread(g[:, 0]) | (spread(g[:, 1]) << 1) | (spread(g[:, 2]) << 2)
+    Round-5 measurement (classroom 262k diffuse bounce rays, walk stats
+    from tools/profile_diffuse.py): the octant-only key leaves a 512-ray
+    block's direction spread at a full octant, so the conservative cull
+    passes ~1325 of 4633 clusters per block and the block horizon (max
+    over lanes) never terminates the walk — the round-4 "STRUCTURAL"
+    classroom wall. Direction bits shrink the block frustum to a cone.
+    """
+    return _os.environ.get("AKR_SORT_KEY", "o")
+
+
+def _spread3(x):  # 9+ bits -> every 3rd bit of 27
+    x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
+def _morton3(v, bits):
+    """v [N, 3] in [0, 1) -> interleaved morton, `bits` per axis."""
+    g = jnp.clip(v * (1 << bits), 0.0, (1 << bits) - 1).astype(jnp.uint32)
+    return (_spread3(g[:, 0]) | (_spread3(g[:, 1]) << 1)
+            | (_spread3(g[:, 2]) << 2)) & jnp.uint32((1 << (3 * bits)) - 1)
+
+
+def _morton_keys(o, d, lo, hi, mode=None):
+    """uint32 ray sort key; layout per _sort_key_mode (see there)."""
+    mode = mode or _sort_key_mode()
+    on = (o - lo) / jnp.maximum(hi - lo, 1e-20)  # origin in [0,1)^3
     octant = (
         (d[:, 0] < 0).astype(jnp.uint32) * 4
         + (d[:, 1] < 0).astype(jnp.uint32) * 2
         + (d[:, 2] < 0).astype(jnp.uint32)
     )
+    ad = jnp.abs(d)
+    ad = ad / jnp.maximum(jnp.linalg.norm(ad, axis=-1, keepdims=True), 1e-20)
+    if mode == "i":
+        om = _morton3(on, 5)  # 15 bits (5 levels)
+        dm = _morton3(ad, 4)  # 12 bits (4 levels)
+        # interleave per level, origin triple first; the 5th (finest)
+        # origin level trails: 4*(3+3) + 3 = 27 bits total
+        key = jnp.zeros_like(om)
+        for lvl in range(4):  # msb level first
+            osh = (om >> jnp.uint32(3 * (4 - lvl))) & jnp.uint32(7)
+            dsh = (dm >> jnp.uint32(3 * (3 - lvl))) & jnp.uint32(7)
+            key = (key << 6) | (osh << 3) | dsh
+        key = (key << 3) | (om & jnp.uint32(7))
+        return (octant << 27) | key
+    if mode.startswith("d") and mode != "d0":
+        k = max(1, min(9, int(mode[1:] or 3)))
+        dm = _morton3(ad, k)
+        om = _morton3(on, 9 - k)
+        return (octant << 27) | (dm << jnp.uint32(3 * (9 - k))) | om
+    m = _morton3(on, 9)
     return (octant << 27) | m
 
 
@@ -383,8 +429,7 @@ def mt_block_update(tri, x, o_ref, d_ref, lim_ref, ex_ref, out_ref, *,
             out_ref[3, :] = jnp.where(better, v_sel, best_v)
 
 
-def _sweep_ent_kernel(tri_ix_ref, xf_ix_ref, o_ref, d_ref, lim_ref, ex_ref,
-                      cent_ref, *rest, any_hit, dummy_row, g):
+def _sweep_ent_kernel(*refs, any_hit, dummy_row, g, packed):
     """_sweep_kernel + an in-kernel horizon early-out: the candidate's
     conservative entry distance is checked against the CURRENT block horizon
     (max live best-t), so candidates made obsolete by earlier hits in the
@@ -395,7 +440,23 @@ def _sweep_ent_kernel(tri_ix_ref, xf_ix_ref, o_ref, d_ref, lim_ref, ex_ref,
     pipeline): the ~3 us/step Mosaic fixed cost (round-3 profile; the MT
     math itself is ~0.2 us) amortizes over g clusters. Order within the
     step matches the candidate order, so first-tested tie semantics are
-    unchanged; the horizon re-tightens between sub-steps."""
+    unchanged; the horizon re-tightens between sub-steps.
+
+    packed: the (tri, xf) candidate tables ride ONE int32 prefetch table
+    (tri + xf*2^16; see _sweep_ent) — halves the SMEM footprint that caps
+    dispatch width."""
+    if packed:
+        (cd_ref, o_ref, d_ref, lim_ref, ex_ref, cent_ref), rest = (
+            refs[:6], refs[6:])
+
+        def tri_at(b, idx):
+            return cd_ref[b, idx] % (1 << 16)
+    else:
+        (tri_ix_ref, _xf_ix_ref, o_ref, d_ref, lim_ref, ex_ref,
+         cent_ref), rest = refs[:7], refs[7:]
+
+        def tri_at(b, idx):
+            return tri_ix_ref[b, idx]
     tri_refs = rest[:g]
     xf_refs = rest[g:2 * g]
     best_in_ref = rest[2 * g]
@@ -415,7 +476,7 @@ def _sweep_ent_kernel(tri_ix_ref, xf_ix_ref, o_ref, d_ref, lim_ref, ex_ref,
             t1 = out_ref[0:1, :]
         horizon = jnp.max(t1)
         idx = m * g + i
-        valid = (tri_ix_ref[b, idx] < dummy_row) & (
+        valid = (tri_at(b, idx) < dummy_row) & (
             cent_ref[0, 0, idx] <= horizon)
 
         @pl.when(valid)
@@ -451,41 +512,85 @@ def _sweep_ent(tri_ix, xf_ix, o_soa, d_soa, lim, ex, cent, tri, xf_tab,
                        constant_values=jnp.inf)
         maxc += padc
 
-    def tri_spec(i):
-        return pl.BlockSpec((1, c_size, 12),
-                            lambda b, m, c, x, i=i: (c[b, m * g + i], 0, 0),
-                            memory_space=pltpu.VMEM)
+    # SMEM packing: the scalar-prefetch tables are FULLY SMEM-resident
+    # (that's what scalar prefetch means), and the 1 MB scoped-SMEM cap is
+    # what forced round 4's dispatch-width lane cap (pt.py). When both row
+    # spaces fit (tri rows 16 bits, xf rows 15 bits — keeps the packed
+    # int32 positive so the index-map // and % are exact), ONE packed
+    # table replaces two: packed = tri_ix + (xf_ix << 16).
+    packed = tri.shape[0] <= (1 << 16) and xf_tab.shape[0] <= (1 << 15)
+    if packed:
+        cd = tri_ix + xf_ix * (1 << 16)
 
-    def xf_spec(i):
-        return pl.BlockSpec((1, 1, 16),
-                            lambda b, m, c, x, i=i: (x[b, m * g + i], 0, 0),
-                            memory_space=pltpu.VMEM)
+        def tri_spec(i):
+            return pl.BlockSpec(
+                (1, c_size, 12),
+                lambda b, m, c, i=i: (c[b, m * g + i] % (1 << 16), 0, 0),
+                memory_space=pltpu.VMEM)
+
+        def xf_spec(i):
+            return pl.BlockSpec(
+                (1, 1, 16),
+                lambda b, m, c, i=i: (c[b, m * g + i] // (1 << 16), 0, 0),
+                memory_space=pltpu.VMEM)
+
+        n_prefetch, tables = 1, (cd,)
+
+        def vspec(shape):
+            return pl.BlockSpec(shape, lambda b, m, c: (0, b),
+                                memory_space=pltpu.VMEM)
+
+        cent_spec = pl.BlockSpec((1, 1, maxc), lambda b, m, c: (b, 0, 0),
+                                 memory_space=pltpu.SMEM)
+    else:
+        def tri_spec(i):
+            return pl.BlockSpec(
+                (1, c_size, 12),
+                lambda b, m, c, x, i=i: (c[b, m * g + i], 0, 0),
+                memory_space=pltpu.VMEM)
+
+        def xf_spec(i):
+            return pl.BlockSpec(
+                (1, 1, 16),
+                lambda b, m, c, x, i=i: (x[b, m * g + i], 0, 0),
+                memory_space=pltpu.VMEM)
+
+        n_prefetch, tables = 2, (tri_ix, xf_ix)
+
+        def vspec(shape):
+            return pl.BlockSpec(shape, lambda b, m, c, x: (0, b),
+                                memory_space=pltpu.VMEM)
+
+        cent_spec = pl.BlockSpec((1, 1, maxc), lambda b, m, c, x: (b, 0, 0),
+                                 memory_space=pltpu.SMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # tri_ix [B, MAXC], xf_ix [B, MAXC]
+        num_scalar_prefetch=n_prefetch,
         grid=(B, maxc // g),
         in_specs=[
-            pl.BlockSpec((3, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
+            vspec((3, BLOCK)),
+            vspec((3, BLOCK)),
+            vspec((2, BLOCK)),
             # ex is [4, n_pad] (exclude0|exclude1|exclude2|per-lane any-hit
             # flag): the block MUST cover all 4 rows — a (3, BLOCK) block
             # here is Mosaic-invalid AND would hide the shadow-flag row
-            pl.BlockSpec((4, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, maxc), lambda b, m, c, x: (b, 0, 0), memory_space=pltpu.SMEM),
+            vspec((4, BLOCK)),
+            cent_spec,
         ] + [tri_spec(i) for i in range(g)]
           + [xf_spec(i) for i in range(g)]
-          + [pl.BlockSpec((4, BLOCK), lambda b, m, c, x: (0, b), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((4, BLOCK), lambda b, m, c, x: (0, b),
-                               memory_space=pltpu.VMEM),
+          + [vspec((4, BLOCK))],
+        out_specs=(pl.BlockSpec((4, BLOCK), lambda b, m, c: (0, b),
+                                memory_space=pltpu.VMEM) if packed else
+                   pl.BlockSpec((4, BLOCK), lambda b, m, c, x: (0, b),
+                                memory_space=pltpu.VMEM)),
     )
     return pl.pallas_call(
         functools.partial(_sweep_ent_kernel, any_hit=any_hit,
-                          dummy_row=dummy_row, g=g),
+                          dummy_row=dummy_row, g=g, packed=packed),
         out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tri_ix, xf_ix, o_soa, d_soa, lim, ex, cent,
+    )(*tables, o_soa, d_soa, lim, ex, cent,
       *([tri] * g), *([xf_tab] * g), best_in)
 
 

@@ -70,6 +70,16 @@ def _select_by_kind(scene: Scene, si, fn, force_diffuse: bool = False):
 # all K (the masked path pays xK). Cost: one scatter + one gather of the shade
 # inputs/outputs per bounce; win: (K-1)x less shader-graph + BSDF work.
 
+# AKR_COMPACT_NEE is a TRACE-TIME choice: it selects which graph gets
+# compiled, so it is read ONCE at import (ADVICE r4: an os.environ read at
+# trace time silently kept the old graph alive in jit caches when the env
+# var changed mid-process; tests that flip it must reload this module or
+# jax.clear_caches()).
+import os as _os_mod
+
+_COMPACT_NEE = _os_mod.environ.get("AKR_COMPACT_NEE", "1") != "0"
+
+
 def _sort_dispatch_mode() -> str:
     import os
 
@@ -227,8 +237,6 @@ def nee_light_sample(scene: Scene, si, u_light):
     (round-4 measured ~2 ms/Mlane per SI in the cbox bounce).
     AKR_COMPACT_NEE=0 reverts; the two paths are bit-identical (same attr
     rows, same p = v0 + e1*b0 + e2*b1, same one-hot emission matmul)."""
-    import os
-
     from ..lights import light_point_attrs, sample_light_point_ex
 
     a = scene.arrays
@@ -236,7 +244,7 @@ def nee_light_sample(scene: Scene, si, u_light):
     compact = (
         a.lights.attr is not None
         and a.const_emission is not None
-        and os.environ.get("AKR_COMPACT_NEE", "1") != "0"
+        and _COMPACT_NEE
     )
     if compact:
         light, lc_pdf, ltri, lprim_pdf, lbary, lslot = sample_light_point_ex(

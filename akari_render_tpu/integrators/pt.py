@@ -72,12 +72,16 @@ def max_wavefront_lanes(scene: Scene) -> int:
         cap = (budget_elems // max(k_full, 1)) * BLOCK
         cap = max(1 << 16, min(cap, 1 << 20))
         # SMEM lid: the sweep's scalar-prefetch candidate tables live in
-        # SMEM (tri_ix + xf_ix [B, MAXC] i32 + cent rows ~ B*MAXC*12 B
-        # against the 1 MB cap). Classroom 1080p at a 1M-lane dispatch
-        # (B = 2048, MAXC = 64) used 2 MB -> permanent compile OOM
-        # (round-4 reproduction); cap B so the tables fit with headroom.
+        # SMEM against the ~1 MB scoped cap. Classroom 1080p at a 1M-lane
+        # dispatch (B = 2048, MAXC = 64) used 2 MB with the round-4 twin
+        # tables -> permanent compile OOM; round 5 packs (tri, xf) into ONE
+        # int32 table when the row spaces fit 16/15 bits (pairs._sweep_ent),
+        # so the footprint is B*MAXC*4 B (8 B on the unpacked fallback).
         smem_budget = 450_000  # bytes, of the 1 MB scoped SMEM
-        b_cap = max(64, smem_budget // (MAXC * 12))
+        # packing needs tri rows (clusters + dummy) <= 2^16 AND xf rows
+        # <= 2^15 — mirror _sweep_ent's condition via the cluster count
+        bytes_per_cand = 4 if (k_full + 1 <= (1 << 15)) else 8
+        b_cap = max(64, smem_budget // (MAXC * bytes_per_cand))
         cap = min(cap, b_cap * BLOCK)
         from .common import _fuse_rays_mode
 

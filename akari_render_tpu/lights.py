@@ -177,7 +177,12 @@ def light_point_attrs(lights: LightArrays, slot, bary):
         oh = jax.nn.one_hot(slot, s_total, dtype=jnp.float32)
         rows = jnp.matmul(oh, la, precision=jax.lax.Precision.HIGHEST)
     else:
-        rows = la[jnp.clip(slot, 0, s_total - 1)]
+        # no clip: slot comes from base + alias-sampled local index, always
+        # in [0, S) by construction (ADVICE r4: a clip would silently remap
+        # an out-of-range slot to a valid row; the one-hot branch would
+        # yield zeros — let a bug surface as an obviously-wrong gather
+        # instead of a plausible wrong light)
+        rows = la[slot]
     b0 = bary[..., 0:1]
     b1 = bary[..., 1:2]
     p = rows[..., 0:3] + rows[..., 3:6] * b0 + rows[..., 6:9] * b1

@@ -915,6 +915,12 @@ def load_scene(path: str, width: int | None = None, height: int | None = None) -
         # always flat-soup ids (emissive geometry is excluded from
         # instancing), so attr rows exist for every entry.
         rows = np.asarray(attr)[np.asarray(lights.tri_ids)]
+        # mat ids ride column 13 as float32 (one packed row fetch); exact
+        # only below 2^24 (ADVICE r4: guard at build so a pathological
+        # material count fails loudly here, not as a wrong NEE emission)
+        assert rows[:, 38].max(initial=0.0) < float(1 << 24), (
+            "compact light table: material id exceeds float32 exactness"
+        )
         lights = lights._replace(
             attr=jnp.asarray(
                 np.concatenate([rows[:, :13], rows[:, 38:39]], axis=1),

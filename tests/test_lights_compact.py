@@ -60,7 +60,11 @@ def test_render_bit_identical_to_fallback(cbox_path, monkeypatch):
     from akari_render_tpu.integrators.pt import render_pt
 
     def render(flag):
-        monkeypatch.setenv("AKR_COMPACT_NEE", flag)
+        # the flag is read ONCE at module import (ADVICE r4) — tests flip
+        # the module constant, not the env, and must clear jit caches
+        from akari_render_tpu.integrators import common
+
+        monkeypatch.setattr(common, "_COMPACT_NEE", flag == "1")
         jax.clear_caches()
         scene = load_scene(cbox_path, width=32, height=32)
         img, _ = render_pt(
