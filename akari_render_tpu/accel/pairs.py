@@ -56,7 +56,7 @@ BLOCK = int(_os.environ.get("AKR_BLOCK", "512"))  # rays per sorted block
 # ray) at the cost of more sweep grid steps
 MAXC = int(_os.environ.get("AKR_MAXC", "64"))  # candidate clusters swept
 # per block per round (import-time env override for end-to-end sweeps)
-WINDOW_MULT = 16  # conservative candidates examined per swept candidate:
+WINDOW_MULT = int(_os.environ.get("AKR_WMULT", "16"))  # conservative candidates examined per swept candidate:
 # each round walks a WINDOW = MAXC*WINDOW_MULT slice of the block's
 # conservative enumeration and sweeps only members that pass >= 1 per-ray
 # slab test — zero-pass members are skipped VACUOUSLY (the per-ray slab is
@@ -82,7 +82,10 @@ def _sort_key_mode() -> str:
     over lanes) never terminates the walk — the round-4 "STRUCTURAL"
     classroom wall. Direction bits shrink the block frustum to a cone.
     """
-    return _os.environ.get("AKR_SORT_KEY", "o")
+    # default "i": measured best on the classroom diffuse-bounce regime
+    # (682 -> 457 ms for the windowed walk at MAXC=64; see STATUS round 5)
+    # with coherent rays unchanged.
+    return _os.environ.get("AKR_SORT_KEY", "i")
 
 
 def _spread3(x):  # 9+ bits -> every 3rd bit of 27
@@ -313,6 +316,103 @@ def _refine(wb, o_soa, i_soa, lim, interpret=False):
         interpret=interpret,
     )(wb, o_soa, i_soa, lim)
     return out[:, 0, :]
+
+
+def _refine_all_kernel(cb_ref, o_ref, i_ref, lim_ref, con_ref, out_ref):
+    """Per-ray slab refine of one (block, KT-cluster tile), emitting each
+    cluster's MIN passing-lane entry (+inf if no lane's [tmin, t1] slab
+    interval overlaps it) — the round-5 static-refine cull.
+
+    Replaces BOTH the conservative block-interval cull (_cull_kernel) and
+    the per-round window refine (_refine_kernel): per-ray slabs are
+    strictly stronger than the block-interval test (every passing lane
+    passes its own slab), and the min passing entry is a TIGHTER walk key
+    than the conservative block entry. Reads the SHARED [6, K] bounds
+    table directly — the round-1..4 formulation re-GATHERED walk-ordered
+    bounds every round ([B, 6, W] rows), which profiling showed was the
+    dominant per-round cost (23 ms/round of scattered row gathers on a
+    512-block classroom dispatch)."""
+    kt = out_ref.shape[2]
+    nlane = o_ref.shape[1]
+    # predication on the conservative block-interval cull (con_ref is
+    # _cull_einit's tile): the per-ray slab pass set is a SUBSET of the
+    # conservative pass set, so a tile the conservative cull fully rejects
+    # is all-inf here too — skip its [BLOCK, KT] slab math entirely.
+    # Coherent blocks reject ~99.9% of clusters, so most tiles skip.
+    any_con = jnp.any(con_ref[0, 0, :] < jnp.inf)
+
+    @pl.when(any_con)
+    def _compute():
+        near = jnp.full((nlane, kt), -jnp.inf)
+        far = jnp.full((nlane, kt), jnp.inf)
+        for a in range(3):
+            bmin = cb_ref[a, :][None, :]  # [1, KT]
+            bmax = cb_ref[3 + a, :][None, :]
+            oa = o_ref[a, :][:, None]  # [BLOCK, 1]
+            ia = i_ref[a, :][:, None]
+            t0 = (bmin - oa) * ia
+            t1 = (bmax - oa) * ia
+            near_ = jnp.maximum(near, jnp.minimum(t0, t1))
+            far_ = jnp.minimum(far, jnp.maximum(t0, t1))
+            near, far = near_, far_
+        near = jnp.maximum(near, lim_ref[0, :][:, None])
+        far = jnp.minimum(far, lim_ref[1, :][:, None])
+        entry = jnp.where(near <= far, near, jnp.inf)
+        # out is [1, 1, KT] over a [B, 1, K] array: Mosaic tiles the last
+        # two dims, and (1, kt) vs (1, K) satisfies the equal-or-divisible
+        # rule for any B (same trap as _refine's out block, see there)
+        out_ref[:] = jnp.min(entry, axis=0)[None, None, :]
+
+    @pl.when(jnp.logical_not(any_con))
+    def _reject():
+        out_ref[:] = jnp.full((1, 1, kt), jnp.inf)
+
+
+_RALL_KT = 512  # clusters per refine-all grid step ([BLOCK, KT] VMEM temps)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _refine_all(cb6, o_soa, i_soa, lim, e_con, interpret=False):
+    """Static per-ray cull: [B, K] f32 min-passing-entry (+inf = no lane
+    can hit the cluster within its initial [tmin, t1]).
+
+    cb6: [6, K] cluster bounds; o_soa/i_soa: [3, n_pad] sorted origins /
+    inverse directions; lim: [2, n_pad] per-lane [tmin, t1]; e_con: [B, K]
+    conservative block-interval entries (_cull_einit) used to predicate
+    whole tiles away."""
+    K = cb6.shape[1]
+    n = o_soa.shape[1]
+    B = n // BLOCK
+    kt = min(_RALL_KT, max(K, 1))
+    K_pad = ((K + kt - 1) // kt) * kt
+    if K_pad != K:  # never-pass padding boxes
+        pad = jnp.broadcast_to(
+            jnp.array([jnp.inf] * 3 + [-jnp.inf] * 3, jnp.float32)[:, None],
+            (6, K_pad - K))
+        cb6 = jnp.concatenate([cb6, pad], axis=1)
+        e_con = jnp.pad(e_con, ((0, 0), (0, K_pad - K)),
+                        constant_values=jnp.inf)
+    out = pl.pallas_call(
+        _refine_all_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, 1, K_pad), jnp.float32),
+        grid=(B, K_pad // kt),
+        in_specs=[
+            pl.BlockSpec((6, kt), lambda b, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BLOCK), lambda b, k: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BLOCK), lambda b, k: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, BLOCK), lambda b, k: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kt), lambda b, k: (b, 0, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, kt), lambda b, k: (b, 0, k),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(cb6, o_soa, i_soa, lim, e_con[:, None, :])
+    return out[:, 0, :K]
 
 
 def _sweep_kernel(tri_ix_ref, xf_ix_ref, o_ref, d_ref, lim_ref, ex_ref,
@@ -730,6 +830,62 @@ def intersect_pairs(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
     posW = jnp.arange(W, dtype=jnp.int32)
     inv_soa = inv_d.T  # [3, n_pad] for the Pallas refine
 
+    # ---- static-refine walk (round 5, default): ONE per-ray cull kernel
+    # (_refine_all) computes every (block, cluster)'s min passing-lane
+    # entry directly from the shared bounds table; the walk order over
+    # THOSE entries enumerates only candidates some lane's initial
+    # [tmin, t1] slab can reach, so rounds are sweep-only — no per-round
+    # window gather, refine, or selection glue (profiled at ~42 ms/round
+    # of the round-4 classroom bounce, the real "structural" cost).
+    # Exactness: a lane's hit t in a cluster is >= its own slab near >=
+    # the cluster's min passing entry, so the ascending walk + shrinking
+    # block horizon keep the same termination proof; non-passing clusters
+    # cannot contain a valid hit for any lane by the slab argument.
+    # AKR_PAIRS_STATIC=0 reverts to the round-1..4 windowed walk.
+    static_walk = _os.environ.get("AKR_PAIRS_STATIC", "1") != "0"
+    if static_walk:
+        cb6 = jnp.concatenate([cl.cbmin.T, cl.cbmax.T], axis=0)
+        summ = jnp.concatenate(
+            [olo, ohi, ilo, ihi, bt0[:, None], jnp.zeros((B, 3))], axis=1
+        )
+        e_con = _cull_einit(summ, cb6, interpret)
+        e_init = _refine_all(cb6, o_soa, inv_soa, lim, e_con, interpret)
+        worder = jnp.argsort(e_init, axis=1).astype(jnp.int32)
+        went = jnp.take_along_axis(e_init, worder, axis=1)
+        kcnt = jnp.sum(jnp.isfinite(e_init), axis=1).astype(jnp.int32)
+        posC = jnp.arange(maxc_eff, dtype=jnp.int32)
+
+        def win_live_s(cursor, bt1):
+            c = jnp.minimum(cursor, K - 1)
+            e_at = jnp.take_along_axis(went, c[:, None], axis=1)[:, 0]
+            return (cursor < kcnt) & (e_at <= bt1)
+
+        def round_body_s(carry):
+            cursor, live, best = carry
+            idx = cursor[:, None] + posC[None, :]
+            idx_c = jnp.minimum(idx, K - 1)
+            cand_i = jnp.take_along_axis(worder, idx_c, axis=1)
+            cand_er = jnp.take_along_axis(went, idx_c, axis=1)
+            ok = (idx < kcnt[:, None]) & live[:, None] & jnp.isfinite(cand_er)
+            tri_ix = jnp.where(ok, tri_row[cand_i], dummy_row).astype(jnp.int32)
+            if cl.xf is not None:
+                xf_ix = jnp.where(ok, cand_i, K).astype(jnp.int32)
+            else:
+                xf_ix = jnp.zeros_like(tri_ix)
+            cand_e = jnp.where(ok, cand_er, jnp.inf)[:, None, :].astype(jnp.float32)
+            out = _sweep_ent(tri_ix, xf_ix, o_soa, d_soa, lim, ex, cand_e,
+                             tri, xf_tab, best, any_hit, interpret)
+            cursor_new = jnp.where(live, cursor + maxc_eff, cursor)
+            new_live = live & win_live_s(cursor_new, block_lim(out))
+            return (cursor_new, new_live, out)
+
+        cur0 = jnp.zeros((B,), jnp.int32)
+        carry = (cur0, win_live_s(cur0, block_lim(best0)), best0)
+        _, _, best = jax.lax.while_loop(
+            lambda c: jnp.any(c[1]), round_body_s, carry
+        )
+        return _unsort_hits(best, perm, n, raw, any_hit)
+
     # ---- cursor walk precompute: each block's full candidate order, ONCE.
     # The per-round top_k over [B, K] (the dominant XLA op of the threshold
     # formulation at large K) is replaced by ONE stable argsort here; rounds
@@ -834,9 +990,12 @@ def intersect_pairs(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
     cur0 = jnp.zeros((B,), jnp.int32)
     carry = (cur0, win_live(cur0, block_lim(best0)), best0)
     _, _, best = jax.lax.while_loop(round_cond2, round_body, carry)
+    return _unsort_hits(best, perm, n, raw, any_hit)
 
-    # unsort: sorted position p holds ray perm[p], so original ray i reads
-    # position inv[i]
+
+def _unsort_hits(best, perm, n, raw, any_hit):
+    """Undo the ray sort: sorted position p holds ray perm[p], so original
+    ray i reads position inv[i]."""
     inv = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
     t = best[0][inv]
     tri_id = best[1][inv].astype(jnp.int32)

@@ -345,5 +345,209 @@ def count_rounds(P, cl, os_, ds_, inv_d, tmins, tlims, summ, e_init, worder,
     return rounds
 
 
+def main_static():
+    """Stage decomposition of the STATIC walk (AKR_PAIRS_STATIC=1 path)."""
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lanes", type=int, default=262144)
+    ap.add_argument("--scene", default="/root/repo/scenes/classroom/scene.json")
+    ap.add_argument("--rays", default="diffuse")
+    ap.add_argument("static", nargs="?")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from akari_render_tpu.accel import pairs as P
+    from akari_render_tpu.camera import generate_rays
+    from akari_render_tpu.core.math import RAY_TMAX, normalize
+    from akari_render_tpu.scene import load_scene
+
+    out = {"rays": args.rays, "block": P.BLOCK, "maxc": P.MAXC,
+           "key": P._sort_key_mode(), "mode": "static",
+           "g": P._sweep_group()}
+    scene = load_scene(args.scene)
+    a = scene.arrays
+    cl = a.unified if a.unified is not None else a.bvh["clusters"]
+    K = int(cl.cbmin.shape[0])
+    out["K"] = K
+    n = args.lanes
+    w = scene.camera.width
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    p_film = jnp.stack(
+        [(pix % w).astype(jnp.float32), (pix // w).astype(jnp.float32)], -1
+    ) + 0.5
+    ray_o, ray_d = generate_rays(scene.camera, p_film)
+    tmin = jnp.zeros((n,))
+    tmax = jnp.full((n,), 1e30)
+    if args.rays == "diffuse":
+        hit = jax.jit(lambda o, d: scene.intersect(o, d, tmin, tmax))(
+            ray_o, ray_d)
+        si = scene.surface_interaction(jnp.maximum(hit.tri_id, 0), hit.bary)
+        ns = si["ns"]
+        u = jr.uniform(jr.PRNGKey(7), (n, 2))
+        r = jnp.sqrt(u[:, 0])
+        phi = 2 * jnp.pi * u[:, 1]
+        lz = jnp.sqrt(jnp.maximum(0.0, 1 - u[:, 0]))
+        up = jnp.where(jnp.abs(ns[:, 2:3]) < 0.999,
+                       jnp.array([0.0, 0.0, 1.0]), jnp.array([1.0, 0.0, 0.0]))
+        t1 = normalize(jnp.cross(up, ns))
+        t2 = jnp.cross(ns, t1)
+        ray_d = normalize(t1 * (r * jnp.cos(phi))[:, None]
+                          + t2 * (r * jnp.sin(phi))[:, None] + ns * lz[:, None])
+        ray_o = si["p"] + ns * 1e-3
+        tmax = jnp.where(hit.valid, 1e30, -1.0)
+
+    BLOCK = P.BLOCK
+    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    B = n_pad // BLOCK
+    out["B"] = B
+
+    @jax.jit
+    def prep(o, d, tmn, tmx):
+        finite = jnp.isfinite(o).all(-1) & jnp.isfinite(d).all(-1)
+        o = jnp.where(finite[:, None], o, 0.0)
+        d = jnp.where(finite[:, None], d, 1.0)
+        tmx = jnp.where(finite, tmx, -1.0)
+        scene_lo = cl.cbmin.min(axis=0)
+        scene_hi = cl.cbmax.max(axis=0)
+        keys = P._morton_keys(o, d, scene_lo[None, :], scene_hi[None, :])
+        keys = jnp.where(tmx <= tmn, jnp.uint32(0xFFFFFFFF), keys)
+        perm = jnp.argsort(keys)
+        pad = n_pad - n
+
+        def srt(x, fill):
+            return jnp.pad(x[perm], ((0, pad),) + ((0, 0),) * (x.ndim - 1),
+                           constant_values=fill)
+
+        os_ = srt(o, 0.0)
+        ds_ = srt(d, 1.0)
+        tmins = srt(tmn, 0.0)
+        tlims = srt(jnp.minimum(tmx, RAY_TMAX), -1.0)
+        ob = os_.reshape(B, BLOCK, 3)
+        olo, ohi = ob.min(axis=1), ob.max(axis=1)
+        inv_d = 1.0 / jnp.where(jnp.abs(ds_) < 1e-20,
+                                jnp.where(ds_ < 0, -1e-20, 1e-20), ds_)
+        ib = inv_d.reshape(B, BLOCK, 3)
+        ilo, ihi = ib.min(axis=1), ib.max(axis=1)
+        bt0 = tmins.reshape(B, BLOCK).min(axis=1)
+        summ = jnp.concatenate(
+            [olo, ohi, ilo, ihi, bt0[:, None], jnp.zeros((B, 3))], axis=1)
+        return os_, ds_, inv_d, tmins, tlims, summ
+
+    dt, (os_, ds_, inv_d, tmins, tlims, summ) = timed(
+        prep, ray_o, ray_d, tmin, tmax)
+    out["sort_ms"] = round(dt * 1e3, 2)
+    cb6 = jnp.concatenate([cl.cbmin.T, cl.cbmax.T], axis=0)
+    dt, e_con = timed(lambda s: P._cull_einit(s, cb6, False), summ)
+    out["cull_ms"] = round(dt * 1e3, 2)
+    o_soa, d_soa, inv_soa = os_.T, ds_.T, inv_d.T
+    lim = jnp.stack([tmins, tlims])
+    dt, e_init = timed(
+        lambda: P._refine_all(cb6, o_soa, inv_soa, lim, e_con, False))
+    out["refine_all_ms"] = round(dt * 1e3, 2)
+
+    @jax.jit
+    def worder_fn(e):
+        worder = jnp.argsort(e, axis=1).astype(jnp.int32)
+        went = jnp.take_along_axis(e, worder, axis=1)
+        kcnt = jnp.sum(jnp.isfinite(e), axis=1).astype(jnp.int32)
+        return worder, went, kcnt
+
+    dt, (worder, went, kcnt) = timed(worder_fn, e_init)
+    out["worder_ms"] = round(dt * 1e3, 2)
+    out["kcnt_mean"] = round(float(jnp.mean(kcnt)), 1)
+    out["kcnt_max"] = int(jnp.max(kcnt))
+
+    # one full static round at round-0 state
+    maxc_eff = min(P.MAXC, K)
+    ex = jnp.stack([jnp.full((n_pad,), -1.0)] * 3 + [jnp.zeros((n_pad,))])
+    best0 = jnp.stack([tlims, jnp.full((n_pad,), -1.0),
+                       jnp.zeros((n_pad,)), jnp.zeros((n_pad,))])
+    posC = jnp.arange(maxc_eff, dtype=jnp.int32)
+    c_size = cl.tri.shape[1]
+    dummy = jnp.zeros((1, c_size, 12), jnp.float32).at[0, :, 9].set(-1.0)
+    tri = jnp.concatenate([cl.tri, dummy], axis=0)
+    dummy_row = tri.shape[0] - 1
+    tri_row = (cl.tri_row if cl.tri_row is not None
+               else jnp.arange(K, dtype=jnp.int32))
+    ident = (jnp.zeros((1, 16), jnp.float32).at[0, 0].set(1.0)
+             .at[0, 5].set(1.0).at[0, 10].set(1.0))
+    xf_tab = (jnp.concatenate([cl.xf, ident], axis=0)
+              if cl.xf is not None else ident)[:, None, :]
+
+    @jax.jit
+    def round_glue(cursor, live):
+        idx = cursor[:, None] + posC[None, :]
+        idx_c = jnp.minimum(idx, K - 1)
+        cand_i = jnp.take_along_axis(worder, idx_c, axis=1)
+        cand_er = jnp.take_along_axis(went, idx_c, axis=1)
+        ok = (idx < kcnt[:, None]) & live[:, None] & jnp.isfinite(cand_er)
+        tri_ix = jnp.where(ok, tri_row[cand_i], dummy_row).astype(jnp.int32)
+        xf_ix = (jnp.where(ok, cand_i, K).astype(jnp.int32)
+                 if cl.xf is not None else jnp.zeros_like(tri_ix))
+        cand_e = jnp.where(ok, cand_er, jnp.inf)[:, None, :].astype(jnp.float32)
+        return tri_ix, xf_ix, cand_e
+
+    cursor0 = jnp.zeros((B,), jnp.int32)
+    live0 = jnp.ones((B,), bool)
+    dt, (tri_ix, xf_ix, cand_e) = timed(round_glue, cursor0, live0)
+    out["round_glue_ms"] = round(dt * 1e3, 2)
+    dt, _ = timed(lambda: P._sweep_ent(
+        tri_ix, xf_ix, o_soa, d_soa, lim, ex, cand_e, tri, xf_tab, best0,
+        False, False))
+    out["round_sweep_ms"] = round(dt * 1e3, 2)
+
+    # count rounds by running the production intersect... via cursor sim
+    import numpy as np
+
+    went_np = np.asarray(went)
+    kcnt_np = np.asarray(kcnt)
+    hit = scene.intersect(ray_o, ray_d, tmin, tmax)
+    t_true = jnp.where(hit.valid, hit.t, jnp.minimum(tmax, RAY_TMAX))
+    # resort t by the same perm prep used
+    finite = jnp.isfinite(ray_o).all(-1) & jnp.isfinite(ray_d).all(-1)
+    tmx2 = jnp.where(finite, tmax, -1.0)
+    scene_lo = cl.cbmin.min(axis=0)
+    scene_hi = cl.cbmax.max(axis=0)
+    keys = P._morton_keys(jnp.where(finite[:, None], ray_o, 0.0),
+                          jnp.where(finite[:, None], ray_d, 1.0),
+                          scene_lo[None, :], scene_hi[None, :])
+    keys = jnp.where(tmx2 <= tmin, jnp.uint32(0xFFFFFFFF), keys)
+    perm = jnp.argsort(keys)
+    ts = jnp.pad(t_true[perm], (0, n_pad - n), constant_values=-1.0)
+    bt1f = np.asarray(ts.reshape(B, BLOCK).max(axis=1))
+    consumed = np.zeros(B, np.int64)
+    for b in range(B):
+        consumed[b] = np.searchsorted(went_np[b, : kcnt_np[b]], bt1f[b],
+                                      "right")
+    rounds = int(np.ceil(consumed / max(maxc_eff, 1)).max())
+    out["rounds_lockstep_bound"] = rounds
+    out["consumed_total"] = int(consumed.sum())
+    out["model_total_ms"] = round(
+        out["sort_ms"] + out["cull_ms"] + out["refine_all_ms"]
+        + out["worder_ms"]
+        + (out["round_glue_ms"] + out["round_sweep_ms"]) * rounds, 1)
+
+    from akari_render_tpu.accel.pairs import intersect_pairs
+
+    @jax.jit
+    def full(o, d, tmx):
+        return intersect_pairs(cl, o, d, tmin, tmx).t
+
+    dt, _ = timed(full, ray_o, ray_d, tmax)
+    out["actual_total_ms"] = round(dt * 1e3, 1)
+    import json as _json
+
+    print(_json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "static" in _sys.argv:
+        main_static()
+    else:
+        main()
