@@ -135,7 +135,7 @@ def _morton_keys(o, d, lo, hi, mode=None):
     return (octant << 27) | m
 
 
-def _block_entries_raw(cbmin, cbmax, olo, ohi, ilo, ihi, bt0):
+def _block_entries_raw(cbmin, cbmax, olo, ohi, ilo, ihi, bt0, bt1max=None):
     """Conservative slab entry/exit of every (block, cluster): two [B, K].
 
     Interval arithmetic per axis: numerator n = b - o over the block's origin
@@ -146,6 +146,15 @@ def _block_entries_raw(cbmin, cbmax, olo, ohi, ilo, ihi, bt0):
     intersect — each round then applies its shrinking horizon bt1 with one
     cheap masked compare instead of re-running the 36-pass interval math
     (round-3 profile: the per-round cull was ~38 ms of a ~190 ms round).
+
+    bt1max (round 5): the block's max lane t-limit. A cluster whose
+    conservative entry exceeds it cannot contain a valid hit for ANY lane
+    (each lane's true entry >= the conservative entry and its t1 <= bt1max),
+    so the exit is clamped to reject it. Two big effects: fully-dead blocks
+    (all t1 = -1, the dead-lane-packed tail of deep bounces) reject EVERY
+    cluster — _refine_all's tile predication then skips their slab math
+    entirely — and shadow rays (t1 = light distance, finite) cull all
+    geometry beyond the light before any per-ray work.
     """
     INF = jnp.inf
     entry = jnp.full((olo.shape[0], cbmin.shape[0]), -INF)
@@ -170,6 +179,8 @@ def _block_entries_raw(cbmin, cbmax, olo, ohi, ilo, ihi, bt0):
         far_hi = jnp.maximum(t0hi, t1hi)
         entry = jnp.maximum(entry, near_lo)
         exit_ = jnp.minimum(exit_, far_hi)
+    if bt1max is not None:
+        exit_ = jnp.minimum(exit_, bt1max[:, None])
     return jnp.maximum(entry, bt0[:, None]), exit_
 
 
@@ -214,6 +225,7 @@ def _cull_kernel(summ_ref, cb_ref, out_ref):
         entry = jnp.maximum(entry, jnp.minimum(t0lo, t1lo))
         exit_ = jnp.minimum(exit_, jnp.maximum(t0hi, t1hi))
     entry = jnp.maximum(entry, summ_ref[:, 12:13])  # block min tmin
+    exit_ = jnp.minimum(exit_, summ_ref[:, 13:14])  # block max t1 (horizon)
     out_ref[:] = jnp.where(entry <= exit_, entry, INF)
 
 
@@ -843,10 +855,18 @@ def intersect_pairs(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
     # cannot contain a valid hit for any lane by the slab argument.
     # AKR_PAIRS_STATIC=0 reverts to the round-1..4 windowed walk.
     static_walk = _os.environ.get("AKR_PAIRS_STATIC", "1") != "0"
+    # initial per-block horizon for the conservative cull (round 5): the
+    # walk's own `e_at <= bt1` check with bt1 = block_lim(best) would reject
+    # these members anyway (bt1 only shrinks from block_lim(best0)), so
+    # clamping the cull exit at the INITIAL horizon is exact and shrinks
+    # kcnt up-front — fully-dead blocks (all t1 = -1) reject every cluster
+    # and shadow rays cull all geometry beyond the light distance.
+    bt1_0 = block_lim(best0)
     if static_walk:
         cb6 = jnp.concatenate([cl.cbmin.T, cl.cbmax.T], axis=0)
         summ = jnp.concatenate(
-            [olo, ohi, ilo, ihi, bt0[:, None], jnp.zeros((B, 3))], axis=1
+            [olo, ohi, ilo, ihi, bt0[:, None], bt1_0[:, None],
+             jnp.zeros((B, 2))], axis=1
         )
         e_con = _cull_einit(summ, cb6, interpret)
         e_init = _refine_all(cb6, o_soa, inv_soa, lim, e_con, interpret)
@@ -901,13 +921,14 @@ def intersect_pairs(cl, o, d, tmin, tmax, exclude0=None, exclude1=None,
     if _os.environ.get("AKR_PALLAS_CULL", "1") != "0":
         # fused Pallas cull (bit-exact; see _cull_kernel)
         summ = jnp.concatenate(
-            [olo, ohi, ilo, ihi, bt0[:, None], jnp.zeros((B, 3))], axis=1
+            [olo, ohi, ilo, ihi, bt0[:, None], bt1_0[:, None],
+             jnp.zeros((B, 2))], axis=1
         )
         cb6 = jnp.concatenate([cl.cbmin.T, cl.cbmax.T], axis=0)
         e_init = _cull_einit(summ, cb6, interpret)
     else:
         ent_raw, exit_raw = _block_entries_raw(
-            cl.cbmin, cl.cbmax, olo, ohi, ilo, ihi, bt0
+            cl.cbmin, cl.cbmax, olo, ohi, ilo, ihi, bt0, bt1max=bt1_0
         )
         e_init = jnp.where(ent_raw <= exit_raw, ent_raw, INF)
     worder = jnp.argsort(e_init, axis=1).astype(jnp.int32)  # stable: id asc

@@ -162,19 +162,23 @@ def test_cull_kernel_matches_xla_reference():
     ilo = rng.uniform(-8, 4, (B, 3)).astype(np.float32)
     ihi = ilo + rng.uniform(0, 8, (B, 3)).astype(np.float32)  # straddles 0
     bt0 = rng.uniform(0, 0.1, (B,)).astype(np.float32)
+    # round-5 horizon column: one block fully dead (-1), the rest finite
+    bt1 = rng.uniform(0.5, 6, (B,)).astype(np.float32)
+    bt1[1] = -1.0
     cbmin = rng.uniform(-4, 3, (K, 3)).astype(np.float32)
     cbmax = cbmin + rng.uniform(0, 2, (K, 3)).astype(np.float32)
 
     ent, exi = _block_entries_raw(
         jnp.asarray(cbmin), jnp.asarray(cbmax), jnp.asarray(olo),
         jnp.asarray(ohi), jnp.asarray(ilo), jnp.asarray(ihi),
-        jnp.asarray(bt0),
+        jnp.asarray(bt0), bt1max=jnp.asarray(bt1),
     )
     want = np.asarray(jnp.where(ent <= exi, ent, jnp.inf))
 
     summ = jnp.concatenate(
         [jnp.asarray(olo), jnp.asarray(ohi), jnp.asarray(ilo),
-         jnp.asarray(ihi), jnp.asarray(bt0)[:, None], jnp.zeros((B, 3))],
+         jnp.asarray(ihi), jnp.asarray(bt0)[:, None],
+         jnp.asarray(bt1)[:, None], jnp.zeros((B, 2))],
         axis=1,
     )
     cb6 = jnp.concatenate([jnp.asarray(cbmin).T, jnp.asarray(cbmax).T], axis=0)
