@@ -36,7 +36,8 @@ class PTSettings:
     color: str = "rgb"  # "rgb" | "spectral" (hero-wavelength transport)
 
 
-def _select_by_kind(scene: Scene, si, fn, force_diffuse: bool = False):
+def _select_by_kind(scene: Scene, si, fn, force_diffuse: bool = False,
+                    lambda0=None):
     """Evaluate fn(closure) for each shader kind, blend by kind mask.
 
     The lax.switch-free analog of dispatch_surface (eval.rs:444-466):
@@ -55,7 +56,7 @@ def _select_by_kind(scene: Scene, si, fn, force_diffuse: bool = False):
         closure = SurfaceClosure(DiffuseBsdf(refl), si["frame"], si["ng"])
         return fn(closure)
     out = None
-    for mask, closure in scene.dispatch_closures(si):
+    for mask, closure in scene.dispatch_closures(si, lambda0=lambda0):
         res = fn(closure)
         out = res if out is None else _tree_select(mask, res, out)
     return out
@@ -119,8 +120,13 @@ def dispatch_shade(scene: Scene, si, extra, fn, force_diffuse: bool = False):
     use_sorted = k > 1 and not force_diffuse and (
         mode == "force" or (mode != "0" and n >= 2048)
     )
+    # hero wavelength for dispersive closures (spectral mode); rides extra
+    # so the sorted path permutes it with the interaction
+    lam0 = (extra["lambdas"][..., 0]
+            if isinstance(extra, dict) and "lambdas" in extra else None)
     if not use_sorted:
-        return _select_by_kind(scene, si, lambda c: fn(c, extra), force_diffuse)
+        return _select_by_kind(scene, si, lambda c: fn(c, extra),
+                               force_diffuse, lambda0=lam0)
     return _sorted_kind_dispatch(scene, si, extra, fn)
 
 
@@ -206,7 +212,10 @@ def _sorted_kind_dispatch(scene: Scene, si, extra, fn):
             ch = _unpack_f32(chunk_mat, in_spec)
             csi = {"mat": ch["mat"], "uv": ch["uv"], "p": ch["p"],
                    "ng": ch["ng"], "frame": ch["frame"]}
-            ctx = scene.eval_context(csi, ki)
+            ex = ch["extra"]
+            lam0 = (ex["lambdas"][..., 0]
+                    if isinstance(ex, dict) and "lambdas" in ex else None)
+            ctx = scene.eval_context(csi, ki, lambda0=lam0)
             closure = dispatch_closure(scene.kinds[ki], ctx, mode="surface")
             out, spec = _pack_f32(fn(closure, ch["extra"]))
             out_spec[0] = spec
@@ -396,6 +405,9 @@ def trace_paths(
             "beta_s": jnp.ones((n, w_)),
             "base_replay_s": jnp.zeros((n, w_)),
         })
+        if scene.has_dispersion:
+            # secondary wavelengths already terminated by a dispersive hit
+            state["sec_dead"] = jnp.zeros((n,), bool)
     if fused:
         state.update({
             "p_ro": jnp.zeros((n, 3)),
@@ -552,6 +564,13 @@ def trace_paths(
 
                 cb, sb = uplift_unbounded(up_table, s["f"])
                 out["f_s"] = eval_reflectance(cb, ex["lambdas"]) * sb[..., None]
+                if scene.has_dispersion:
+                    # static per-kind flag -> per-lane column so it rides
+                    # the sorted-dispatch permutation
+                    out["disp"] = jnp.full(
+                        ex["wo"].shape[:-1],
+                        bool(getattr(closure, "dispersive", False)),
+                    )
             out["albedo"] = closure.albedo(ex["wo"])
             return out
 
@@ -582,6 +601,22 @@ def trace_paths(
                     )
         if sh is None:
             sh = dispatch_shade(scene, si, extra, shade, force_diffuse=settings.force_diffuse)
+        if spectral is not None and scene.has_dispersion:
+            # hero-wavelength dispersion: a lane interacting with a
+            # dispersive glass evaluated its IOR (refraction direction,
+            # Fresnel weights) at lambda0 only — the secondary wavelengths'
+            # spectral factors are invalid there, so they TERMINATE: zero
+            # their throughput and compensate the hero by W once (the MC
+            # sensor estimate means over W, so the estimator stays
+            # unbiased; pbrt's TerminateSecondary, color.rs todo!()).
+            w_ = lam.shape[-1]
+            hero_w = jnp.zeros((1, w_)).at[0, 0].set(float(w_))
+            newly = sh["disp"] & ~st["sec_dead"]
+            mult = jnp.where(newly[..., None], hero_w, 1.0)
+            sh["f_s"] = sh["f_s"] * mult
+            if "direct_s" in sh:
+                sh["direct_s"] = sh["direct_s"] * mult
+            st["sec_dead"] = st["sec_dead"] | sh["disp"]
         st["first_albedo"] = jnp.where(first_mask[..., None], sh["albedo"], st["first_albedo"])
 
         # --- shadow ray + add direct (pt.rs:504-513) ---

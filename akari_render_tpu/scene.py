@@ -516,7 +516,7 @@ class Scene:
             "tri_id": t,
         }
 
-    def eval_context(self, si, kind_idx: int) -> EvalContext:
+    def eval_context(self, si, kind_idx: int, lambda0=None) -> EvalContext:
         """Prefetch all per-lane shader constants with ONE one-hot matmul.
         (A row gather measured WORSE here: small-row gathers inside the
         shade fusion scalarize on TPU — round-4 bisection. The [N, M]
@@ -539,9 +539,23 @@ class Scene:
                 if self.kind_const_ranges is not None
                 else None
             ),
+            lambda0=lambda0,
         )
 
-    def dispatch_closures(self, si):
+    @property
+    def has_dispersion(self) -> bool:
+        """Static: any shader kind holds a dispersive (Cauchy) glass node.
+        Gates the spectral path's hero-collapse machinery so non-dispersive
+        scenes trace the exact same graph as before."""
+        cached = getattr(self, "_has_dispersion", None)
+        if cached is None:
+            from .svm.eval import kind_is_dispersive
+
+            cached = any(kind_is_dispersive(k) for k in self.kinds)
+            self._has_dispersion = cached
+        return cached
+
+    def dispatch_closures(self, si, lambda0=None):
         """Build one SurfaceClosure per shader kind plus the per-lane kind
         mask — the lax.switch-free analog of Svm::dispatch_surface
         (eval.rs:444-466): with K kinds we evaluate K closures on all lanes
@@ -550,7 +564,7 @@ class Scene:
         out = []
         for k, kind in enumerate(self.kinds):
             mask = si["kind"] == k
-            ctx = self.eval_context(si, k)
+            ctx = self.eval_context(si, k, lambda0=lambda0)
             out.append((mask, dispatch_closure(kind, ctx, mode="surface")))
         return out
 

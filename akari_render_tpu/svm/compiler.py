@@ -202,7 +202,15 @@ class _Compiler:
             )
         elif t == "glass":
             c = self.compile_node(node["color"]["id"])
-            out = ("glass", c, c, self.compile_node(node["ior"]["id"]), self.compile_node(node["roughness"]["id"]))
+            # "dispersion": optional Cauchy B coefficient (um^2), a schema
+            # extension past the reference (glass.rs has a fixed ior; its
+            # spectral eval is todo!()). eta(lambda) = eta_d + B*(1/l^2 -
+            # 1/0.5876^2), anchored so the scene's ior holds at the d line.
+            # Plain float (not a socket): it must stay a trace-time constant
+            # so the spectral path can collapse to the hero wavelength.
+            out = ("glass", c, c, self.compile_node(node["ior"]["id"]),
+                   self.compile_node(node["roughness"]["id"]),
+                   float(node.get("dispersion", 0.0)))
         elif t == "plastic":
             # scenegraph schema: kd/ks/eta/roughness (shader.rs:161-167);
             # optional sigma_a/thickness extend it to the full Tungsten model

@@ -63,6 +63,11 @@ class EvalContext(NamedTuple):
     # over the kind's materials — lets closures eliminate statically-zero
     # lobes at trace time (never crosses a jit boundary)
     const_ranges: object = None
+    # [N] hero wavelength (nm) in spectral mode, None in RGB mode —
+    # dispersive closures (glass with a Cauchy coefficient) evaluate their
+    # IOR at this wavelength; the integrator then terminates the secondary
+    # wavelengths (hero-wavelength dispersion)
+    lambda0: object = None
 
 
 def _gather(ctx: EvalContext, const_off: int, count: int = 1):
@@ -288,10 +293,23 @@ class _Evaluator:
         return TransparentSurface(NullSurface(), alpha)
 
     def _glass(self, node) -> Surface:
-        """Fresnel-weighted reflection+transmission (ref svm/surface/glass.rs:13-45)."""
+        """Fresnel-weighted reflection+transmission (ref svm/surface/glass.rs:13-45).
+
+        Dispersion (spectral mode only): when the node carries a Cauchy B
+        coefficient and the context has a hero wavelength, the IOR is
+        evaluated per lane at lambda0 — n(l) = n_d + B*(1/l^2 - 1/l_d^2),
+        l in um, anchored at the Fraunhofer d line (587.6 nm) so the
+        scene's declared ior is exact there. The reference's spectral
+        dispatch is todo!() (color.rs:71-73); this goes one level past it."""
         kr = self.color(node[1])
         kt = jnp.sqrt(jnp.clip(self.color(node[2]), 0.0, None))
         eta = self.f(node[3])
+        cauchy_b = float(node[5]) if len(node) > 5 else 0.0
+        if cauchy_b > 0.0 and self.ctx.lambda0 is not None:
+            lam_um = self.ctx.lambda0 * 1e-3
+            eta = eta + cauchy_b * (
+                1.0 / jnp.maximum(lam_um * lam_um, 1e-4) - 1.0 / 0.5876**2
+            )
         roughness = self.f(node[4])
         dist = TrowbridgeReitz.from_roughness(roughness)
         fresnel = lambda c: fr_dielectric(c, eta)[..., None] * jnp.ones(3)
@@ -576,11 +594,22 @@ def eval_kind(kind: CompiledKind, ctx: EvalContext, mode: str = "surface"):
     return tag, v
 
 
+def kind_is_dispersive(kind: CompiledKind) -> bool:
+    """Static (trace-time): does this kind hold a glass node with a Cauchy
+    dispersion term? Drives hero-wavelength secondary termination."""
+    return any(
+        n is not None and n[0] == "glass" and len(n) > 5 and float(n[5]) > 0.0
+        for n in kind.nodes
+    )
+
+
 def dispatch_closure(kind: CompiledKind, ctx: EvalContext, mode: str = "surface") -> SurfaceClosure:
     """Evaluate a kind and wrap in the world-space closure (eval.rs:404-423)."""
     tag, surf = eval_kind(kind, ctx, mode)
     assert tag == "surface"
-    return SurfaceClosure(surf, ctx.frame, ctx.ng)
+    closure = SurfaceClosure(surf, ctx.frame, ctx.ng)
+    closure.dispersive = kind_is_dispersive(kind)  # static per-kind flag
+    return closure
 
 
 def _cs(name: str) -> str:

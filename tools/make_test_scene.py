@@ -111,7 +111,9 @@ def principled(base_color=(0.8, 0.8, 0.8), roughness=0.5, metallic=0.0,
     return {"nodes": nodes, "output": {"id": "out"}, "kind": "surface"}
 
 
-def glass(color=(1, 1, 1), ior=1.5, roughness=0.05):
+def glass(color=(1, 1, 1), ior=1.5, roughness=0.05, dispersion=0.0):
+    """dispersion: Cauchy B coefficient in um^2 (0 = none; BK7 ~ 0.0042).
+    Only the spectral transport uses it (svm/eval.py::_glass)."""
     nodes = {}
     c = [0]
     rgb = _const(nodes, c, {"type": "rgb", "value": list(color), "colorspace": "srgb"})
@@ -122,6 +124,8 @@ def glass(color=(1, 1, 1), ior=1.5, roughness=0.05):
         "ior": _const(nodes, c, {"type": "float", "value": ior}),
         "roughness": _const(nodes, c, {"type": "float", "value": roughness}),
     }
+    if dispersion:
+        nodes["bsdf"]["dispersion"] = float(dispersion)
     nodes["out"] = {"type": "output", "node": {"id": "bsdf"}}
     return {"nodes": nodes, "output": {"id": "out"}, "kind": "surface"}
 
