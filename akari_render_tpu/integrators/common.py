@@ -318,12 +318,24 @@ def trace_paths(
     radiance_cb: Callable | None = None,
     unroll: bool = False,
     spectral=None,
+    depth_end: int | None = None,
+    resume_state: dict | None = None,
+    depth_beg: int = 0,
+    finalize: bool = True,
 ):
     """Trace one bounce-limited path per lane; returns (radiance [N,3], aux, sampler).
 
     sampler: pytree with next_1d/next_2d/next_3d returning (sampler, value)
     (state must be jnp arrays so it can be loop-carried).
     radiance_cb: optional hook(depth, kind, contribution, mask) — forces unroll.
+
+    Partial tracing (the round-5 split-compacted pass, pt.py): depth_end
+    bounds the bounce loop below settings.max_depth, finalize=False skips
+    final_emission/clamp and returns the RAW state dict instead — the
+    caller may compact its live lanes (every lane is independent, so any
+    row subset resumes bit-exactly) and continue with resume_state +
+    depth_beg (both static). With resume_state, ray_o/ray_d/sampler args
+    are ignored (the state carries them).
     spectral: optional SampledWavelengths (lambdas/pdf [N, W]) — hero-wavelength
     spectral transport (color.rs:49-76 SampledWavelengths; the reference's
     spectral evaluation itself is todo!(), color.rs:71-73 — this implements it).
@@ -335,7 +347,7 @@ def trace_paths(
     uplifts through the normalized D65 illuminant so white emitters are D65.
     """
     a = scene.arrays
-    n = ray_o.shape[0]
+    n = (resume_state["ray_o"] if resume_state is not None else ray_o).shape[0]
     if radiance_cb is not None:
         unroll = True
     if spectral is not None and radiance_cb is not None:
@@ -384,42 +396,45 @@ def trace_paths(
         and not scene.has_alpha
     )
 
-    state = {
-        "ray_o": ray_o,
-        "ray_d": ray_d,
-        "exclude": jnp.full((n,), -1, jnp.int32),
-        "radiance": jnp.zeros((n, 3)),
-        "beta": jnp.ones((n, 3)),
-        "active": jnp.ones((n,), bool),
-        "prev_bsdf_pdf": jnp.zeros((n,)),
-        "base_replay": jnp.zeros((n, 3)),
-        "first_albedo": jnp.zeros((n, 3)),
-        "first_normal": jnp.zeros((n, 3)),
-        "first_t": jnp.full((n,), RAY_TMAX),
-        "sampler": sampler,
-    }
-    if spectral is not None:
-        w_ = spectral.lambdas.shape[-1]
-        state.update({
-            "radiance_s": jnp.zeros((n, w_)),
-            "beta_s": jnp.ones((n, w_)),
-            "base_replay_s": jnp.zeros((n, w_)),
-        })
-        if scene.has_dispersion:
-            # secondary wavelengths already terminated by a dispersive hit
-            state["sec_dead"] = jnp.zeros((n,), bool)
-    if fused:
-        state.update({
-            "p_ro": jnp.zeros((n, 3)),
-            "p_wi": jnp.zeros((n, 3)),
-            "p_dist": jnp.zeros((n,)),
-            "p_contrib": jnp.zeros((n, 3)),
-            "p_valid": jnp.zeros((n,), bool),
-            "p_ex0": jnp.full((n,), -1, jnp.int32),
-            "p_ex1": jnp.full((n,), -1, jnp.int32),
-        })
+    if resume_state is not None:
+        state = dict(resume_state)  # shallow copy; rows resume bit-exactly
+    else:
+        state = {
+            "ray_o": ray_o,
+            "ray_d": ray_d,
+            "exclude": jnp.full((n,), -1, jnp.int32),
+            "radiance": jnp.zeros((n, 3)),
+            "beta": jnp.ones((n, 3)),
+            "active": jnp.ones((n,), bool),
+            "prev_bsdf_pdf": jnp.zeros((n,)),
+            "base_replay": jnp.zeros((n, 3)),
+            "first_albedo": jnp.zeros((n, 3)),
+            "first_normal": jnp.zeros((n, 3)),
+            "first_t": jnp.full((n,), RAY_TMAX),
+            "sampler": sampler,
+        }
         if spectral is not None:
-            state["p_contrib_s"] = jnp.zeros((n, spectral.lambdas.shape[-1]))
+            w_ = spectral.lambdas.shape[-1]
+            state.update({
+                "radiance_s": jnp.zeros((n, w_)),
+                "beta_s": jnp.ones((n, w_)),
+                "base_replay_s": jnp.zeros((n, w_)),
+            })
+            if scene.has_dispersion:
+                # secondary wavelengths already terminated by a dispersive hit
+                state["sec_dead"] = jnp.zeros((n,), bool)
+        if fused:
+            state.update({
+                "p_ro": jnp.zeros((n, 3)),
+                "p_wi": jnp.zeros((n, 3)),
+                "p_dist": jnp.zeros((n,)),
+                "p_contrib": jnp.zeros((n, 3)),
+                "p_valid": jnp.zeros((n,), bool),
+                "p_ex0": jnp.full((n,), -1, jnp.int32),
+                "p_ex1": jnp.full((n,), -1, jnp.int32),
+            })
+            if spectral is not None:
+                state["p_contrib_s"] = jnp.zeros((n, spectral.lambdas.shape[-1]))
 
     def fused_trace(st):
         """One traversal for [path rays | pending shadow rays]: returns the
@@ -703,8 +718,11 @@ def trace_paths(
         st["first_t"] = jnp.where(first_mask, hit.t, st["first_t"])
         return add_emission(st, depth, si, lane_hit, -st["ray_d"])
 
+    d_end = settings.max_depth if depth_end is None else min(
+        depth_end, settings.max_depth
+    )
     if unroll:
-        for depth in range(settings.max_depth):
+        for depth in range(depth_beg, d_end):
             state = bounce_body(depth, state)
     else:
         # while_loop instead of fori: whole bounces are skipped once every
@@ -712,15 +730,17 @@ def trace_paths(
         # the tail bounces usually have no live lanes
         def bounce_cond(c):
             depth, st = c
-            return (depth < settings.max_depth) & jnp.any(st["active"])
+            return (depth < d_end) & jnp.any(st["active"])
 
         def bounce_step(c):
             depth, st = c
             return depth + 1, bounce_body(depth, st)
 
         _, state = jax.lax.while_loop(
-            bounce_cond, bounce_step, (jnp.int32(0), state)
+            bounce_cond, bounce_step, (jnp.int32(depth_beg), state)
         )
+    if not finalize:
+        return state
     state = final_emission(state)
 
     if spectral is not None:

@@ -93,8 +93,179 @@ def max_wavefront_lanes(scene: Scene) -> int:
     return max(1 << 16, budget_elems // k_eff)
 
 
+def _split_depth(scene: Scene, settings: PTSettings) -> int | None:
+    """Split-compacted pass config (round 5): depth at which the pass
+    compacts live lanes into narrow chunks. The classroom decomposition
+    (tools/profile_bounce.py) showed traversal cost is nearly FLAT in
+    live-lane fraction — a depth-11 bounce with 0.2% live lanes still pays
+    ~full-width [B, K] cull/argsort/refine fixed costs — so deep bounces
+    re-dispatch at 1/AKR_SPLIT_FRAC width (lanes are independent: any row
+    subset resumes bit-exactly; tests/test_pipeline.py asserts equality).
+
+    AKR_SPLIT_DEPTH=d enables, =0 disables. Default: 3 on cluster-tier
+    TPU scenes (where per-dispatch traversal fixed costs dominate), off
+    elsewhere (brute-tier scenes pay per-lane, not per-dispatch).
+    """
+    import os
+
+    from ..scene import _on_tpu
+
+    if settings.color == "spectral":
+        # the spectral throughput state is tied to per-lane wavelengths the
+        # resume path does not re-thread; keep spectral renders unsplit
+        return None
+    v = os.environ.get("AKR_SPLIT_DEPTH", "")
+    if v:
+        d = int(v)
+        return d if 0 < d < settings.max_depth else None
+    if (
+        _on_tpu()
+        and scene.arrays.bvh is not None
+        and settings.max_depth >= 6
+        and settings.color != "spectral"
+    ):
+        return 3
+    return None
+
+
+def _render_pass_fn_split(scene: Scene, settings: PTSettings, filt, width,
+                          height, spp_chunk, split_d, seed=0,
+                          sampler_config=None):
+    """Split-compacted pass (see _split_depth): phase 1 traces depths
+    [0, split_d) at full block width inside one jit and returns the raw
+    path state + a live-lanes-first permutation; the host reads ONE scalar
+    (the live count), then phase 2 resumes depths [split_d, max] on
+    compacted chunks of pb//AKR_SPLIT_FRAC lanes — as many chunks as the
+    live count needs, all hitting the same compiled graph. Lane math is
+    identical to the fused pass (compaction is a pure row permutation of
+    independent lanes), so the image is bit-exact vs AKR_SPLIT_DEPTH=0."""
+    import os
+
+    npix = width * height
+    from ..core.film import remove_nan
+    from ..core.lds import make_sampler
+
+    pb = min(npix, max_wavefront_lanes(scene))
+    n_blocks = -(-npix // pb)
+    npad = n_blocks * pb
+    frac = max(2, int(os.environ.get("AKR_SPLIT_FRAC", "8")))
+    pc = max(512, pb // frac)
+
+    def phase1(arrays, sample_idx, p0):
+        sc = replace(scene, arrays=arrays)
+        pix = (p0 + jnp.arange(pb, dtype=jnp.int32)).astype(jnp.uint32)
+        valid = pix < npix
+        pixc = jnp.minimum(pix, npix - 1)
+        sampler = make_sampler(
+            sampler_config, pixc, sample_idx.astype(jnp.uint32), seed
+        )
+        sampler, u_film = sampler.next_2d()
+        off, fw = filt.sample(u_film)
+        p_film = jnp.stack(
+            [(pixc % width).astype(jnp.float32),
+             (pixc // width).astype(jnp.float32)], -1
+        ) + 0.5 + off
+        ray_o, ray_d = generate_rays(sc.camera, p_film)
+        st = trace_paths(
+            sc, settings, ray_o, ray_d, sampler,
+            depth_end=split_d, finalize=False,
+        )
+        live = st["active"]
+        perm = jnp.argsort(~live).astype(jnp.int32)  # stable: live first
+        count = jnp.sum(live.astype(jnp.int32))
+        return st, perm, count, jnp.where(valid, fw, 0.0)
+
+    p1 = jax.jit(phase1)
+
+    def phase2_chunk(arrays, st, perm, c, radiance):
+        sc = replace(scene, arrays=arrays)
+        ids = jax.lax.dynamic_slice(perm, (c * pc,), (pc,))
+        # compact per-lane rows; pass shared leaves (e.g. a table-driven
+        # sampler's sample tables, leading dim != pb) through untouched
+        stc = jax.tree_util.tree_map(
+            lambda x: x[ids] if (jnp.ndim(x) and x.shape[0] == pb) else x, st
+        )
+        rad, _aux, _s = trace_paths(
+            sc, settings, None, None, None,
+            resume_state=stc, depth_beg=split_d,
+        )
+        # rows are a permutation slice (unique ids); chunk-straddling dead
+        # rows and the clamped finalize are idempotent, so a plain set is
+        # exact even when the last chunk overlaps
+        return radiance.at[ids].set(rad)
+    # no donation: the radiance accumulator aliases st["radiance"] on the
+    # first chunk (f(a, donate(a)) is rejected)
+    p2 = jax.jit(phase2_chunk)
+
+    def combine(film, radiance, base_replay, fw, p0):
+        # clamp for lanes that died before split_d (phase-2 rows arrive
+        # already clamped; the clamp is idempotent)
+        if settings.clamp_indirect > 0.0:
+            ind = jnp.clip(
+                radiance - base_replay, None, settings.clamp_indirect
+            )
+            radiance = base_replay + ind
+        color = remove_nan(radiance) * fw[..., None]
+        acc = jax.lax.dynamic_slice(film.accum, (p0, 0), (pb, 3))
+        w = jax.lax.dynamic_slice(film.weight, (p0,), (pb,))
+        return film._replace(
+            accum=jax.lax.dynamic_update_slice(
+                film.accum, acc + color, (p0, 0)
+            ),
+            weight=jax.lax.dynamic_update_slice(film.weight, w + fw, (p0,)),
+        )
+
+    comb = jax.jit(combine, donate_argnums=(0,))
+
+    verbose = os.environ.get("AKR_SPLIT_VERBOSE", "0") == "1"
+
+    def run_pass(arrays, film, start_sample):
+        import sys
+        import time as _t
+
+        if npad > npix:
+            film = film._replace(
+                accum=jnp.pad(film.accum, ((0, npad - npix), (0, 0))),
+                weight=jnp.pad(film.weight, ((0, npad - npix),)),
+            )
+        start = jnp.asarray(start_sample, jnp.uint32)
+        for s in range(spp_chunk):
+            sidx = start + jnp.uint32(s)
+            for b in range(n_blocks):
+                p0 = jnp.int32(b * pb)
+                t0 = _t.time()
+                st, perm, count, fw = p1(arrays, sidx, p0)
+                cnt = int(count)  # the one host sync per block-sample
+                t1 = _t.time()
+                rad = st["radiance"]
+                nch = -(-cnt // pc) if cnt else 0
+                for c in range(nch):
+                    rad = p2(arrays, st, perm, jnp.int32(c), rad)
+                film = comb(film, rad, st["base_replay"], fw, p0)
+                if verbose:
+                    jax.block_until_ready(film)
+                    print(
+                        f"# split b{b}: p1 {t1 - t0:.3f}s "
+                        f"(live {cnt}/{pb}) + {nch} p2+comb "
+                        f"{_t.time() - t1:.3f}s",
+                        file=sys.stderr, flush=True,
+                    )
+        if npad > npix:
+            film = film._replace(
+                accum=film.accum[:npix], weight=film.weight[:npix]
+            )
+        return film
+
+    run_pass.n_blocks = n_blocks
+    return run_pass
+
+
 def _render_pass_fn(scene: Scene, settings: PTSettings, filt, width, height, spp_chunk, seed=0, sampler_config=None):
     """Build the jitted one-pass function (traced once, reused every pass).
+
+    Routes to the split-compacted runner (_render_pass_fn_split) when
+    _split_depth engages — decided HERE so every caller (render_pt, bench,
+    tools) gets the production configuration.
 
     Renders `spp_chunk` samples per pixel per call with the sample loop
     INSIDE jit (lax.fori_loop) so one device dispatch covers the whole pass —
@@ -102,6 +273,12 @@ def _render_pass_fn(scene: Scene, settings: PTSettings, filt, width, height, spp
     Frames wider than max_wavefront_lanes trace in pixel blocks (inner fori)
     so accel intermediates stay bounded regardless of resolution.
     """
+    sd = _split_depth(scene, settings)
+    if sd is not None:
+        return _render_pass_fn_split(
+            scene, settings, filt, width, height, spp_chunk, sd,
+            seed=seed, sampler_config=sampler_config,
+        )
 
     npix = width * height
     from ..core.lds import make_sampler

@@ -277,3 +277,28 @@ def test_lane_cap_respects_smem_budget():
     cap = max_wavefront_lanes(scene)
     b = -(-cap // BLOCK)
     assert b * MAXC * 12 <= 524_288, (cap, b, MAXC)
+
+
+def test_split_compacted_pass_bit_exact(monkeypatch):
+    """Round-5 split-compacted pass (pt.py::_render_pass_fn_split): depths
+    past AKR_SPLIT_DEPTH re-dispatch on live-lane-compacted chunks. Lanes
+    are independent, so compaction is a pure row permutation and the image
+    must be BIT-identical to the unsplit pass — including lanes that died
+    before the split depth (clamped in the combine step) and chunk-straddle
+    rows (idempotent scatter)."""
+    import numpy as np
+
+    from akari_render_tpu.config import PTConfig
+    from akari_render_tpu.integrators.pt import render_pt
+    from akari_render_tpu.scene import load_scene
+
+    scene = load_scene(
+        "/root/reference/scenes/cbox/scene.json", width=48, height=48
+    )
+    cfg = PTConfig(spp=6, max_depth=7, spp_per_pass=6)
+    monkeypatch.delenv("AKR_SPLIT_DEPTH", raising=False)
+    a = np.asarray(render_pt(scene, cfg)[0])
+    monkeypatch.setenv("AKR_SPLIT_DEPTH", "2")
+    monkeypatch.setenv("AKR_SPLIT_FRAC", "4")
+    b = np.asarray(render_pt(scene, cfg)[0])
+    assert (a == b).all(), float(np.max(np.abs(a - b)))

@@ -53,9 +53,11 @@ def main():
     ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
 
+    print("importing jax...", flush=True)
     import jax
     import jax.numpy as jnp
     import jax.random as jr
+    print("devices:", jax.devices(), flush=True)
 
     from akari_render_tpu.camera import generate_rays
     from akari_render_tpu.core.math import RAY_TMAX, face_forward, offset_ray_origin
@@ -65,7 +67,9 @@ def main():
     )
     from akari_render_tpu.scene import load_scene
 
+    print("loading scene...", flush=True)
     scene = load_scene(args.scene)
+    print("scene loaded", flush=True)
     n = args.lanes
     w = scene.camera.width
     pix = jnp.arange(n, dtype=jnp.uint32)
