@@ -70,7 +70,13 @@ def max_wavefront_lanes(scene: Scene) -> int:
         # spp sizing cannot subdivide) under the ~60 s relay watchdog
         budget_elems = 1 << 27
         cap = (budget_elems // max(k_full, 1)) * BLOCK
-        cap = max(1 << 16, min(cap, 1 << 20))
+        # round-5 measured lid (classroom 1080p width sweep, 2026-08-20):
+        # 64k 0.0411 / 128k 0.0421 / 256k 0.0399 / 899k 0.0301 Mpaths/s —
+        # wider dispatches LOSE (the sweep's lockstep round count is a max
+        # over blocks, so per-dispatch tail waste grows with block count);
+        # the old 1M lid amortized per-call costs that no longer dominate
+        # after the static-refine walk
+        cap = max(1 << 16, min(cap, 1 << 17))
         # SMEM lid: the sweep's scalar-prefetch candidate tables live in
         # SMEM against the ~1 MB scoped cap. Classroom 1080p at a 1M-lane
         # dispatch (B = 2048, MAXC = 64) used 2 MB with the round-4 twin
@@ -120,11 +126,16 @@ def _split_depth(scene: Scene, settings: PTSettings) -> int | None:
         return d if 0 < d < settings.max_depth else None
     if (
         _on_tpu()
-        and scene.arrays.bvh is not None
-        and settings.max_depth >= 6
-        and settings.color != "spectral"
+        and (scene.arrays.bvh is not None
+             or scene.arrays.unified is not None)
+        and settings.max_depth > settings.rr_depth + 1
     ):
-        return 3
+        # split at the FIRST post-RR depth: measured live fraction falls
+        # off a cliff there (classroom 1080p: 99.8% live at depth 3 ->
+        # ~3% at depth 6 with rr_depth 5), so the tail depths re-dispatch
+        # at 1/8 width with ~1 chunk. Classroom: 0.0421 -> 0.0547 Mpaths/s
+        # on top of the 128k-lane dispatch lid (2026-08-20).
+        return settings.rr_depth + 1
     return None
 
 
