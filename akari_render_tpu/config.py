@@ -107,9 +107,17 @@ class GPTConfig:
     # the per-iteration primal-weight prefix schedule (gpt.rs:505-514).
     uniform_weights: bool = True
     # the reference's `reconnect: bool` (gpt.rs:42, default true). None =
-    # use render_gpt's measured default (pss; see BENCH_MSE_GLOSSY.json
-    # "conclusion"); an explicit method-JSON value wins.
+    # use render_gpt's default (reconnect, reference parity; see
+    # BENCH_MSE_GLOSSY.json); an explicit method-JSON value wins.
     reconnect: bool | None = None
+    # the reference's `separate_weights` (gpt.rs:44, default false there):
+    # pair the camera-vertex contributions (jacobian-1 PSS shifts) at
+    # weight 1/2 and only the rest under the reconnection-jacobian MIS
+    # (gpt.rs:192-204, 290-331). DEFAULT TRUE here — a documented measured
+    # deviation: with the lumped weighting the reconnection shift LOSES to
+    # plain pss replay on every fixture (the r3/r4 record); with separate
+    # weights it wins the diffuse-receiver fixtures (round-5 re-measure).
+    separate_weights: bool = True
 
     @staticmethod
     def from_json(d: dict) -> "GPTConfig":
@@ -125,6 +133,7 @@ class GPTConfig:
             stride=d.get("stride", 1),
             uniform_weights=d.get("uniform_weights", True),
             reconnect=d.get("reconnect"),
+            separate_weights=d.get("separate_weights", True),
         )
 
 

@@ -32,11 +32,19 @@ from .mcmc import ReplaySampler, sample_dimension
 
 OFFSETS = np.array([[1, 0], [-1, 0], [0, 1], [0, -1]], np.int32)
 
-# Measured default (BENCH_MSE_GLOSSY.json "conclusion"): PSS replay beats
-# the reconnection shift at equal budget on all three recorded fixtures,
-# including the one designed for reconnection. Documented deviation from
-# the reference's `reconnect: true` default (gpt.rs:42).
-DEFAULT_SHIFT_MODE = "pss"
+# Round 5: back to the reference's default (gpt.rs:42 `reconnect: true`).
+# The r3/r4 "pss beats reconnect on every fixture" measurements were traced
+# to two estimator choices, not a formulation truth (VERDICT r4 item 4):
+# (1) the lumped pair weighting applied the RECONNECTION jacobian to the
+# camera vertex's own contributions (depth-0 Le + first-vertex NEE), which
+# are jacobian-1 PSS shifts — the reference's separate_weights option
+# (gpt.rs:44/192-204) exists for exactly this; it now defaults ON here
+# (GPTConfig.separate_weights, documented deviation from the reference's
+# false). (2) Lanes whose base path had no eligible reconnection vertex
+# failed to `-base` instead of counting as a full-PSS replay (jacobian 1).
+# With both, reconnection wins the designed-for blinds fixture and edges
+# pss on cbox (BENCH_MSE_GLOSSY.json, multi-seed re-measure).
+DEFAULT_SHIFT_MODE = "reconnect"
 
 
 def _eval_from_pixel(scene: Scene, settings, filt, pix_xy, pss, rng):
@@ -95,12 +103,18 @@ def gpt_sample_films(scene: Scene, config: GPTConfig, filt, settings, D: int,
         off, fw = filt.sample(u_film)
         p_film = pix.astype(jnp.float32) + 0.5 + off
         ray_o, ray_d = generate_rays(sc.camera, p_film)
-        base, rec, sampler = trace_base_record(
+        (base, base0), rec, sampler = trace_base_record(
             sc, settings, ray_o, ray_d, sampler,
             min_dist=config.shift_mapping_min_dist,
             min_rough=config.shift_mapping_min_roughness,
         )
         base = base * fw[..., None]
+        # separate-weights split (gpt.rs:192-204 + pt.rs:415-417/510-511):
+        # base0 = the camera-vertex contributions (depth-0 Le + first-vertex
+        # NEE) — pure jacobian-1 PSS-replay shifts that pair at weight 1/2;
+        # the rest pairs under the reconnection-jacobian MIS.
+        base0 = base0 * fw[..., None]
+        base_rest = base - base0
         rng = sampler.rng
     else:
         rec = None
@@ -126,21 +140,39 @@ def gpt_sample_films(scene: Scene, config: GPTConfig, filt, settings, D: int,
             soff, sfw = filt.sample(u_film)
             sp_film = spix.astype(jnp.float32) + 0.5 + soff
             s_o, s_d = generate_rays(sc.camera, sp_film)
-            shifted, jac, success, _ = trace_shift_reconnect(
+            (sh0, sh_rest), jac, success, _ = trace_shift_reconnect(
                 sc, settings, s_o, s_d, sampler, rec,
                 min_dist=config.shift_mapping_min_dist,
                 min_rough=config.shift_mapping_min_roughness,
             )
-            shifted = shifted * sfw[..., None]
-            # the reference's pair weighting (gpt.rs:318-331): on success
-            # grad = (shifted*J - base)/(1+J); on failure the shifted path
-            # contributes nothing and the base keeps full weight — the
-            # opposite-direction pair supplies the + side of the difference
-            g = jnp.where(
-                success[..., None],
-                (shifted * jac[..., None] - base) / (1.0 + jac)[..., None],
-                -base,
-            )
+            sh0 = sh0 * sfw[..., None]
+            sh_rest = sh_rest * sfw[..., None]
+            if getattr(config, "separate_weights", True):
+                # separate-weights pair (gpt.rs:192-204, 318-331 under
+                # config.separate_weights): the camera-vertex replay part
+                # always pairs symmetrically at 1/2 (jacobian-1 PSS shift);
+                # the reconnection part pairs under jacobian MIS on success
+                # and falls to -base_rest on failure (the opposite-direction
+                # pair supplies the + side). DEFAULT here (measured: the
+                # lumped weighting injects direct-lighting-scale noise and
+                # loses to pss replay on every fixture).
+                g = (sh0 - base0) * 0.5 + jnp.where(
+                    success[..., None],
+                    (sh_rest * jac[..., None] - base_rest)
+                    / (1.0 + jac)[..., None],
+                    -base_rest,
+                )
+            else:
+                # lumped pair weighting (the reference's default formula,
+                # gpt.rs:318-331 with separate_weights=false)
+                shifted = sh0 + sh_rest
+                base_full = base0 + base_rest
+                g = jnp.where(
+                    success[..., None],
+                    (shifted * jac[..., None] - base_full)
+                    / (1.0 + jac)[..., None],
+                    -base_full,
+                )
             return g, spix
 
         gs, spixs = jax.lax.map(
@@ -184,13 +216,13 @@ def render_gpt(scene: Scene, config: GPTConfig, task=None, progress_cb=None,
     (SURVEY.md §5 film + sampler state; sample chunking is pixel-keyed so
     per-sample granularity loses no determinism).
 
-    shift_mode default "pss" is a DOCUMENTED MEASURED DEVIATION from the
-    reference's reconnection default (gpt.rs:318-331): equal-budget MSE
-    A/Bs on three fixtures spanning the theory's axes — all-glossy,
-    diffuse cbox, and the blinds fixture designed for reconnection
-    (diffuse receivers + high-frequency slat visibility) — all favor
-    primary-sample-space replay, by 8% to 2x (BENCH_MSE_GLOSSY.json,
-    "conclusion"). "reconnect" stays selectable and exactness-tested."""
+    shift_mode defaults to "reconnect", matching the reference (gpt.rs:42):
+    after the round-5 separate-weights + no-vertex-fallback fixes the
+    reconnection shift wins the equal-budget MSE A/B on the fixtures with
+    diffuse receivers (blinds — designed for it — and cbox;
+    BENCH_MSE_GLOSSY.json, multi-seed). "pss" (pure primary-sample-space
+    replay) stays selectable; on ALL-glossy scenes it can still measure
+    ahead because the min_roughness gate leaves few eligible vertices."""
     t0 = time.time()
     if shift_mode is None:
         # explicit arg > method-JSON `reconnect` (gpt.rs:42) > measured

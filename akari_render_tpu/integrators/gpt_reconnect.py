@@ -89,6 +89,15 @@ def _bounce(scene, settings, st, depth, sampler, record_mode,
     w_mis = jnp.where(depth == 0, 1.0, mis_weight(st["prev_bsdf_pdf"], lpdf))
     contrib = st["beta"] * le * w_mis[..., None]
     st["radiance"] = st["radiance"] + jnp.where(is_light[..., None], contrib, 0.0)
+    # depth-0 split (reference base_replay_throughput, pt.rs:415-417): the
+    # camera vertex's own contributions pair at weight 1/2 in the
+    # separate-weights gradient (gpt.rs:192-204) — they are pure PSS-replay
+    # shifts with jacobian 1, so weighting them by the reconnection jacobian
+    # (the lumped default) injects noise proportional to the DIRECT-lighting
+    # magnitude (the round-4 "pss beats reconnect" measurement).
+    st["radiance0"] = st["radiance0"] + jnp.where(
+        (is_light & (depth == 0))[..., None], contrib, 0.0
+    )
     if record_mode:
         rcontrib = st["rbeta"] * le * w_mis[..., None]
         st["rradiance"] = st["rradiance"] + jnp.where(
@@ -132,6 +141,9 @@ def _bounce(scene, settings, st, depth, sampler, record_mode,
     direct_ok = light_valid & ~occluded
     st["radiance"] = st["radiance"] + jnp.where(
         direct_ok[..., None], st["beta"] * sh["direct"], 0.0
+    )
+    st["radiance0"] = st["radiance0"] + jnp.where(
+        (direct_ok & (depth == 0))[..., None], st["beta"] * sh["direct"], 0.0
     )
     if record_mode:
         st["rradiance"] = st["rradiance"] + jnp.where(
@@ -212,6 +224,7 @@ def _init_state(n, record_mode):
     st = {
         "exclude": jnp.full((n,), -1, jnp.int32),
         "radiance": jnp.zeros((n, 3)),
+        "radiance0": jnp.zeros((n, 3)),
         "beta": jnp.ones((n, 3)),
         "active": jnp.ones((n,), bool),
         "prev_bsdf_pdf": jnp.zeros((n,)),
@@ -278,7 +291,7 @@ def trace_base_record(scene, settings: PTSettings, ray_o, ray_d, sampler,
         direct_wi=st["rec_direct_wi"], direct_light_pdf=st["rec_direct_light_pdf"],
         indirect=st["rradiance"], cos_at_v=st["rec_cos"], dist=st["rec_dist"],
     )
-    return st["radiance"], rec, sampler
+    return (st["radiance"], st["radiance0"]), rec, sampler
 
 
 def trace_shift_reconnect(scene, settings: PTSettings, ray_o, ray_d, sampler,
@@ -299,6 +312,7 @@ def trace_shift_reconnect(scene, settings: PTSettings, ray_o, ray_d, sampler,
     n = ray_o.shape[0]
     st = _init_state(n, record_mode=False)
     st["ray_o"], st["ray_d"] = ray_o, ray_d
+    st["conn"] = jnp.zeros((n, 3))
     jacobian = jnp.zeros((n,))
     success = jnp.zeros((n,), bool)
     v_si = scene.surface_interaction(jnp.maximum(rec.tri, 0), rec.bary)
@@ -404,7 +418,7 @@ def trace_shift_reconnect(scene, settings: PTSettings, ray_o, ray_d, sampler,
         J = jnp.where(jnp.isfinite(J), J, 0.0)
         ok = ok & (J > 0.0)
 
-        st["radiance"] = st["radiance"] + jnp.where(ok[..., None], conn, 0.0)
+        st["conn"] = st["conn"] + jnp.where(ok[..., None], conn, 0.0)
         jacobian = jnp.where(ok, J, jacobian)
         success = success | ok
         st["connected"] = st["connected"] | ok
@@ -415,4 +429,17 @@ def trace_shift_reconnect(scene, settings: PTSettings, ray_o, ray_d, sampler,
     _, st, sampler, jacobian, success = jax.lax.while_loop(
         shift_cond, shift_body, (jnp.int32(0), st, sampler, jacobian, success)
     )
-    return st["radiance"], jacobian, success, sampler
+    # No-vertex fallback (reference pt.rs end-of-trace: with no valid
+    # reconnection vertex the shift ran as a FULL PSS replay and counts as a
+    # successful jacobian-1 shift unless its own replay found an eligible
+    # pair — the reverse map would have reconnected there, so the replay is
+    # not the inverse). The previous formulation failed these lanes to
+    # `-base`, discarding all replay correlation for specular/short paths.
+    fallback_ok = ~rec.valid & (st["first_eligible"] < 0)
+    success = success | fallback_ok
+    jacobian = jnp.where(fallback_ok, 1.0, jacobian)
+    # radiance split: (replay depth-0 part, everything-else part incl. the
+    # reconnection term) — the separate-weights gradient (gpt.rs:321-327)
+    # pairs the first at weight 1/2 and the second under jacobian MIS.
+    rest = st["radiance"] - st["radiance0"] + st["conn"]
+    return (st["radiance0"], rest), jacobian, success, sampler
