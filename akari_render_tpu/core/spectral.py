@@ -75,7 +75,12 @@ def ensure_rgb2spec_table(gamut: str = "srgb", res: int = 24):
     scale = np.frombuffer(raw, np.float32, r, offset=4)
     coeffs = np.frombuffer(raw, np.float32, 3 * r * r * r * 3, offset=4 + 4 * r)
     coeffs = coeffs.reshape(3, r, r, r, 3)
-    _table_cache[gamut] = (jnp.asarray(scale.copy()), jnp.asarray(coeffs.copy()))
+    # cache NUMPY, not device arrays: the first ensure can happen inside a
+    # jit trace (a fresh process rendering spectral), and a device array
+    # created there is loop-hoisted to a tracer — reusing it from this
+    # module-global cache in a LATER trace is an UnexpectedTracerError
+    # (hit on TPU, round 5). uplift_coeffs converts per use.
+    _table_cache[gamut] = (scale.copy(), coeffs.copy())
     return _table_cache[gamut]
 
 
@@ -87,6 +92,10 @@ def uplift_coeffs(table, rgb):
     Jakob-Hanika parameterization, so interpolated coefficients stay valid.
     (The previous nearest-cell lookup cost up to ~7% between scale knots.)"""
     scale, coeffs = table
+    # the cache holds numpy (see ensure_rgb2spec_table); convert inside the
+    # current trace so the constants belong to it
+    scale = jnp.asarray(scale)
+    coeffs = jnp.asarray(coeffs)
     r = scale.shape[0]
     maxc = jnp.argmax(rgb, axis=-1)
     mx = jnp.take_along_axis(rgb, maxc[..., None], axis=-1)[..., 0]
